@@ -1,0 +1,93 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full computation,
+no driver collect). A second section (run via tools/bench_scaling.py)
+evidences the N->4N scaling criterion from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from edgar_crawler_spark.queries import QUERIES
+from edgar_crawler_spark.session import get_spark
+
+# Headline set: one per operator family (scan+filter, anti-join,
+# broadcast join, wide agg, window, set-op, dedup, text stats, ANN)
+# plus the frontier scheduling queries.
+HEADLINE = [
+    "type_filter",
+    "urlseen_antijoin",
+    "broadcast_enrich",
+    "pricing_summary",
+    "count_by_year",
+    "recent_per_firm",
+    "keep_last_dedup",
+    "union_dedup_merge",
+    "priority_topk",
+    "wave_assignment",
+    "sessionize",
+    "dedup_exact",
+    "token_stats",
+    "quality_score",
+    "fingerprint_prefix",
+    "ann_cosine_topk",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+
+    # Warm the JVM + python workers once so per-query numbers measure
+    # the plan, not interpreter startup.
+    force(QUERIES["count_by_type"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        force(q.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Extraction throughput (filings/sec) once the extract job exists.
+    try:
+        from tools.bench_extract import bench_extract  # noqa: PLC0415
+
+        timings["extract_8k"] = round(bench_extract(spark), 3)
+    except Exception:  # noqa: BLE001, S110
+        pass
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,861 @@
+"""Relational + analytics query registry.
+
+Every operator class from SURVEY.md §2.2-2.7 (filters, equi/anti/outer
+joins, aggregations, windows, set ops) plus the training-data-pipeline
+operators (dedup, token stats, quality scoring, ANN) is exposed here as
+a named query over the driver test tables, together with an ANSI-SQL
+oracle that DuckDB runs on the same parquet files.
+
+The tables play the reference's roles (see SURVEY.md §1):
+  orders    ~ filings ledger  (o_custkey ~ CIK, o_orderpriority ~ form
+              type, o_orderdate ~ filing date)
+  customer  ~ company dimension (companies_info.json / ticker map)
+  lineitem  ~ per-filing file inventory
+  events    ~ crawl fetch log
+  documents ~ extracted filing text corpus
+  embeddings~ document embeddings
+
+Design rules for oracle agreement:
+- every computed column is aliased identically on both sides,
+- timestamps are projected as 'yyyy-MM-dd' strings,
+- Spark int results widened to long where DuckDB yields BIGINT,
+- floating aggregates rounded (2-4 dp) on both sides,
+- top-k selections always carry a unique tiebreaker key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .tables import load_table
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+@query(
+    "type_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus <> 'F'
+    """,
+    doc="Filing-type filter + projection (download_filings.py:451): "
+        "predicate + column pruning pushed into the parquet scan.",
+)
+def q_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderstatus") != "F")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@query(
+    "cik_classify",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN regexp_matches(c_name, '[0-9]$') THEN 'numeric'
+                ELSE 'named' END AS id_kind
+    FROM customer
+    """,
+    doc="CIK-vs-ticker classification (download_filings.py:402-411) as a "
+        "native rlike predicate.",
+)
+def q_cik_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_name").rlike("[0-9]$"), F.lit("numeric"))
+        .otherwise(F.lit("named"))
+        .alias("id_kind"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "urlseen_antijoin",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0
+    )
+    """,
+    doc="URL-seen anti-join (download_filings.py:151-158): frontier rows "
+        "kept only if their key is not in the seen set. At 10^10 scale a "
+        "bloom pre-filter runs before this exact anti-join "
+        "(frontier/seen.py).",
+)
+def q_urlseen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seen = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(seen), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@query(
+    "broadcast_enrich",
+    oracle="""
+    SELECT o.o_orderkey,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COALESCE(n.n_name, 'UNKNOWN') AS nation_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="Company-info enrichment (download_filings.py:648-656): broadcast "
+        "dimension joins + coalesce fill, no shuffle of the fact side.",
+)
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+            F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_name"),
+        )
+    )
+
+
+@query(
+    "missing_firms",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Missing-CIK set difference (download_manager.py:356-360): seed "
+        "companies with no downloaded filings, as a left-anti join.",
+)
+def q_missing_firms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "reconcile_fullouter",
+    oracle="""
+    SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS order_key,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_meta,
+           CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_disk
+    FROM (SELECT o_orderkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+    FULL OUTER JOIN
+         (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1) l
+      ON o.o_orderkey = l.l_orderkey
+    WHERE COALESCE(o.n_orders, 0) = 0 OR COALESCE(l.n_lines, 0) = 0
+    """,
+    doc="Metadata-vs-disk reconciliation (download_manager.py:259-275): "
+        "full outer join on accession, report one-sided rows.",
+)
+def q_reconcile_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    disk = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    joined = meta.join(disk, meta.o_orderkey == disk.l_orderkey, "full_outer")
+    return (
+        joined.select(
+            F.coalesce("o_orderkey", "l_orderkey").alias("order_key"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_meta"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_disk"),
+        )
+        .filter((F.col("n_meta") == 0) | (F.col("n_disk") == 0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@query(
+    "count_by_type",
+    oracle="""
+    SELECT o_orderpriority AS form_type, COUNT(*) AS n_filings
+    FROM orders GROUP BY 1
+    """,
+    doc="Count by filing type (download_manager.py:189-194): "
+        "value_counts() as a hash aggregate with map-side partials.",
+)
+def q_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("form_type"))
+        .agg(F.count(F.lit(1)).alias("n_filings"))
+    )
+
+
+@query(
+    "count_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS filing_year,
+           COUNT(*) AS n_filings
+    FROM orders GROUP BY 1
+    """,
+    doc="Count by filing year (download_manager.py:196-204).",
+)
+def q_count_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("long").alias("filing_year"))
+        .agg(F.count(F.lit(1)).alias("n_filings"))
+    )
+
+
+@query(
+    "corpus_stats",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_firms,
+           COUNT(*) AS n_filings,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS earliest,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS latest
+    FROM orders
+    """,
+    doc="Distinct firms + min/max dates (download_manager.py:206-209, "
+        "314-319) in one pass.",
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("distinct_firms"),
+        F.count(F.lit(1)).alias("n_filings"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("earliest"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("latest"),
+    )
+
+
+@query(
+    "grouped_minmax",
+    oracle="""
+    SELECT l_suppkey,
+           strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Grouped MIN/MAX (wrds_downloader.py:80-99 COMPUSTAT SQL).",
+)
+def q_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "coverage_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN length(text) > 0 THEN 1 END) AS n_nonempty,
+           ROUND(AVG(CAST(length(text) AS DOUBLE)), 2) AS avg_len
+    FROM documents GROUP BY 1
+    """,
+    doc="Per-item coverage stats (consolidate_output.py:236-252): "
+        "conditional count + mean length per group.",
+)
+def q_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.length("text") > 0, 1)).alias("n_nonempty"),
+            F.round(F.avg(F.length("text").cast("double")), 2).alias("avg_len"),
+        )
+    )
+
+
+@query(
+    "missing_years",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(year(MIN(o_orderdate)) AS BIGINT) AS y0,
+             CAST(year(MAX(o_orderdate)) AS BIGINT) AS y1
+      FROM orders
+    )
+    SELECT o.o_custkey AS cik,
+           CAST(COUNT(DISTINCT year(o.o_orderdate)) AS BIGINT) AS years_present,
+           (s.y1 - s.y0 + 1) - CAST(COUNT(DISTINCT year(o.o_orderdate)) AS BIGINT)
+             AS years_missing
+    FROM orders o CROSS JOIN span s
+    GROUP BY o.o_custkey, s.y0, s.y1
+    """,
+    doc="Missing-years per firm (download_manager.py:396-421): present "
+        "year set vs the global expected range.",
+)
+def q_missing_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    span = orders.agg(
+        F.year(F.min("o_orderdate")).cast("long").alias("y0"),
+        F.year(F.max("o_orderdate")).cast("long").alias("y1"),
+    )
+    per_firm = orders.groupBy(F.col("o_custkey").alias("cik")).agg(
+        F.countDistinct(F.year("o_orderdate")).alias("years_present")
+    )
+    return per_firm.crossJoin(F.broadcast(span)).select(
+        "cik",
+        "years_present",
+        (F.col("y1") - F.col("y0") + 1 - F.col("years_present")).alias(
+            "years_missing"
+        ),
+    )
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q1-style pricing summary: the canonical wide hash "
+        "aggregate with map-side partial aggregation (storage rollup "
+        "analog, download_manager.py:138-162).",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / ranking
+# ---------------------------------------------------------------------------
+
+@query(
+    "recent_per_firm",
+    oracle="""
+    SELECT cik, o_orderkey, order_date FROM (
+      SELECT o_custkey AS cik, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="Recent-N filings per firm (download_manager.py:322-327): "
+        "row_number window, deterministic tiebreak on the unique key.",
+)
+def q_recent_per_firm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("cik"),
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@query(
+    "keep_last_dedup",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber DESC, l_quantity DESC, l_partkey DESC) AS rn
+      FROM lineitem)
+    WHERE rn = 1
+    """,
+    doc="Keep-last dedup by accession (rebuild_metadata.py:254): "
+        "drop_duplicates(keep='last') as a row_number window.",
+)
+def q_keep_last_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").desc(), F.col("l_quantity").desc(), F.col("l_partkey").desc()
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "priority_topk",
+    oracle="""
+    SELECT o_orderkey, form_weight, order_date FROM (
+      SELECT o_orderkey,
+             CAST(CASE o_orderpriority
+               WHEN '1-URGENT' THEN 10 WHEN '2-HIGH' THEN 8
+               WHEN '3-MEDIUM' THEN 5 WHEN '4-NOT SPECIFIED' THEN 2
+               ELSE 1 END AS BIGINT) AS form_weight,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM orders)
+    ORDER BY form_weight DESC, order_date DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="Crawl priority ordering (SURVEY §2.5: filing-date desc, "
+        "form-type weight): global top-k via TakeOrderedAndProject — no "
+        "full sort shuffle, each partition contributes its local top-k.",
+)
+def q_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weight = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 10)
+        .when(F.col("o_orderpriority") == "2-HIGH", 8)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 5)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            weight.alias("form_weight"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.desc("form_weight"), F.desc("order_date"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "wave_assignment",
+    oracle="""
+    SELECT o_orderkey, host_bucket,
+           CAST(floor((rn - 1) / 10) AS BIGINT) AS wave
+    FROM (
+      SELECT o_orderkey,
+             o_orderkey % 8 AS host_bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderkey % 8
+               ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      FROM orders)
+    """,
+    doc="Politeness wave scheduling (SURVEY §4 custom mechanism 1): URLs "
+        "salted into host buckets; within each bucket, priority order is "
+        "chopped into fixed-size waves so each wave respects the per-host "
+        "request budget.",
+)
+def q_wave_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("host_bucket").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("host_bucket", F.col("o_orderkey") % 8)
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "o_orderkey",
+            "host_bucket",
+            F.floor((F.col("rn") - 1) / 10).cast("long").alias("wave"),
+        )
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""
+    SELECT user_id, CAST(1 + SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events)
+    GROUP BY user_id
+    """,
+    doc="Fetch-log sessionization (streaming-adjacent batch pattern): "
+        "lag window + gap threshold; the batch dual of the "
+        "session_window streaming operator.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("is_new", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            (F.lit(1) + F.sum("is_new")).cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 / §2.7 sorts & set ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "union_dedup_merge",
+    oracle="""
+    SELECT o_orderkey, src FROM (
+      SELECT o_orderkey, src,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderkey ORDER BY ingest_order DESC) AS rn
+      FROM (
+        SELECT o_orderkey, 'old' AS src, 0 AS ingest_order
+        FROM orders WHERE o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'new' AS src, 1 AS ingest_order
+        FROM orders WHERE o_orderkey % 2 = 0))
+    WHERE rn = 1
+    """,
+    doc="Union + keep-last dedup merge (rebuild_metadata.py:250-254): "
+        "unionByName with an ingest-order column, window keeps the "
+        "newest copy per key — the batch MERGE pattern.",
+)
+def q_union_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    old = (
+        orders.filter(F.col("o_orderkey") % 3 != 0)
+        .select("o_orderkey", F.lit("old").alias("src"), F.lit(0).alias("ingest_order"))
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", F.lit("new").alias("src"), F.lit(1).alias("ingest_order"))
+    )
+    w = W.partitionBy("o_orderkey").orderBy(F.col("ingest_order").desc())
+    return (
+        old.unionByName(new)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "src")
+    )
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    doc="Set difference (download_manager.py:356-360): firms with urgent "
+        "filings but no low-priority ones.",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.subtract(low)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / text stats (documents table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM (SELECT doc_id, md5(text) AS text_hash FROM documents)
+    GROUP BY text_hash
+    """,
+    doc="Exact dedup by content hash: hash-groupBy, keep lowest doc_id. "
+        "At 100 TB the md5 is computed in the scan projection and the "
+        "groupBy shuffles only (hash, id) pairs, never the text.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="Token counting (whitespace tokenizer) as native split/filter "
+        "expressions — whole-stage codegen, no Python.",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+           ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1), 4)
+             AS alpha_ratio
+    FROM (
+      SELECT doc_id,
+             GREATEST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      t -> t <> '')), 1) AS n_tok,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                 t -> t IN ('the','and','of','to','a','in'))) AS n_stop,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             length(text) AS n_chars
+      FROM documents)
+    """,
+    doc="Document quality scoring: stopword ratio + alphabetic ratio, "
+        "all native expressions (no UDF in the hot path).",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stops = ["the", "and", "of", "to", "a", "in"]
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    stop_toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t.isin(stops))
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.greatest(F.size(toks), F.lit(1)).alias("n_tok"),
+        F.size(stop_toks).alias("n_stop"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("n_alpha"),
+        F.length("text").alias("n_chars"),
+    )
+    return base.select(
+        "doc_id",
+        F.round(F.col("n_stop").cast("double") / F.col("n_tok"), 4).alias(
+            "stop_ratio"
+        ),
+        F.round(
+            F.col("n_alpha").cast("double") / F.greatest("n_chars", F.lit(1)), 4
+        ).alias("alpha_ratio"),
+    )
+
+
+@query(
+    "lang_agreement",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(CASE WHEN en_hits > 0 THEN 1 END) AS BIGINT)
+             AS n_pred_en
+    FROM (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 t -> t IN ('the','and','is','was'))) AS en_hits
+      FROM documents)
+    GROUP BY lang
+    """,
+    doc="Language-ID heuristic (stopword hits) rolled up against the "
+        "labeled lang column.",
+)
+def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en_words = ["the", "and", "is", "was"]
+    hits = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t.isin(en_words))
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", hits.alias("en_hits"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("en_hits") > 0, 1)).cast("long").alias("n_pred_en"),
+        )
+    )
+
+
+@query(
+    "fingerprint_prefix",
+    oracle="""
+    SELECT substr(md5(substr(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                             1, 256)), 1, 16) AS fp,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Document fingerprinting: md5 over the normalized 256-char "
+        "prefix — a cheap near-head-dup detector at scan speed.",
+)
+def q_fingerprint_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fp = F.substring(F.md5(F.substring(norm, 1, 256)), 1, 16)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND(
+               list_dot_product(e.embedding, q.qv) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0)
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 20
+    """,
+    doc="Brute-force cosine top-k against the vec_id=0 query vector: "
+        "the exact-ANN baseline. zip_with + aggregate keeps the dot "
+        "product JVM-side; top-k is TakeOrderedAndProject (no global "
+        "sort). The LSH-bucketed scale path lives in "
+        "operators/similarity.py.",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(20)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(sqrt(list_dot_product(embedding, embedding))), 4)
+             AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="Per-label embedding norm stats: array math fully JVM-side.",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+        )
+    )
