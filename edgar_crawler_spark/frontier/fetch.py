@@ -1,0 +1,141 @@
+"""Fetch stage: applyInPandas over host buckets, token-bucket paced.
+
+Reference behavior being re-expressed
+(/root/reference/download_filings.py:464-854):
+- sequential GET loop with urllib3 Retry(total=5, backoff_factor=0.2,
+  status_forcelist 400/401/403/5xx) — here: bounded retry loop with
+  the same backoff schedule (0.2 * 2**(attempt-1)) charged to the
+  politeness clock,
+- throttle detection + politeness — here: the token bucket
+  (politeness.py) paces every request inside one host bucket,
+- bytes written to RAW_FILINGS/... — here: fetched pages are ROWS of
+  the Common-Crawl-style pages table (input_hint schema), never files.
+
+The sandbox has no network, so the transport is injected: the default
+`SimulatedTransport` synthesizes the same deterministic filing bodies
+as synth.py (same url → same bytes, always) and injects deterministic
+transient failures so the retry path is really exercised. A production
+transport would wrap requests.Session with the reference's Retry
+mount; everything else — pacing, retries, scheduling, output schema —
+is transport-independent.
+
+Plan shape: groupBy(host_bucket).applyInPandas — ONE hash exchange on
+host_bucket (reused from assign_waves' window), then pure map-side
+work. Each task owns one bucket = one slice of the host budget, so
+politeness holds per-task without any cross-task coordination.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timezone
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..synth import make_filing_body
+from .politeness import TokenBucket, per_bucket_rate
+
+EPOCH = datetime(2015, 1, 1, tzinfo=timezone.utc)
+
+FETCH_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "cik string, company string, form_type string, filing_date string, "
+    "accession string, filename string, "
+    "host_bucket int, wave long, attempts int, status string, "
+    "sched_ts double, fetched_bytes long"
+)
+
+# reference retry parameters (download_filings.py:811-854)
+MAX_RETRIES = 5
+BACKOFF_FACTOR = 0.2
+
+
+def _stable_int(key: str, salt: str = "") -> int:
+    d = hashlib.blake2b((salt + key).encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(d, "big")
+
+
+class SimulatedTransport:
+    """Deterministic fake network: same url → same bytes. A fraction
+    of urls fail transiently `n` times before succeeding (exercises
+    retry/backoff); a smaller fraction fails permanently."""
+
+    def __init__(self, seed: int = 7, transient_pct: int = 10, permanent_pct: int = 0):
+        self.seed = seed
+        self.transient_pct = transient_pct
+        self.permanent_pct = permanent_pct
+
+    def planned_failures(self, url: str) -> int:
+        h = _stable_int(url, "fail")
+        if self.permanent_pct and h % 1000 < self.permanent_pct * 10:
+            return MAX_RETRIES + 1  # never succeeds
+        if h % 100 < self.transient_pct:
+            return 1 + h // 100 % min(3, MAX_RETRIES)
+        return 0
+
+    def get(self, url: str, form_type: str, attempt: int) -> bytes | None:
+        """None = this attempt failed."""
+        if attempt <= self.planned_failures(url):
+            return None
+        body = make_filing_body(self.seed, _stable_int(url) % (2**31), form_type)
+        return body.encode("utf-8")
+
+
+def fetch_wave(
+    wave_df: DataFrame,
+    host_budget_per_sec: float = 10.0,
+    n_buckets: int = 8,
+    transport_factory: Callable[[], SimulatedTransport] | None = None,
+) -> DataFrame:
+    """Fetch one wave. Input needs (url, cik, company, form_type,
+    filing_date, accession, host_bucket, bucket_rank, wave); output is
+    FETCH_SCHEMA — page rows + embedded fetch log (sched_ts is the
+    virtual send time in seconds since the wave start; politeness
+    tests assert the per-host rate from it).
+    """
+    rate = per_bucket_rate(host_budget_per_sec, n_buckets)
+    tf = transport_factory or SimulatedTransport
+
+    def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        transport = tf() if not isinstance(tf, SimulatedTransport) else tf
+        pdf = pdf.sort_values("bucket_rank", kind="mergesort")
+        bucket = TokenBucket(rate=rate, burst=1.0)
+        out = []
+        for row in pdf.itertuples(index=False):
+            attempts, body, t = 0, None, 0.0
+            while attempts < MAX_RETRIES and body is None:
+                attempts += 1
+                t = bucket.acquire()
+                body = transport.get(row.url, row.form_type, attempts)
+                if body is None and attempts < MAX_RETRIES:
+                    # reference backoff schedule, charged to the clock
+                    bucket.now += BACKOFF_FACTOR * (2 ** (attempts - 1))
+            status = "ok" if body is not None else "failed"
+            year = (row.filing_date or "0000")[:4]
+            out.append(
+                {
+                    "url": row.url,
+                    "warc_ts": EPOCH + pd.Timedelta(seconds=t),
+                    "html": body,
+                    "text": "",
+                    "lang": "en",
+                    "cik": row.cik,
+                    "company": row.company,
+                    "form_type": row.form_type,
+                    "filing_date": row.filing_date,
+                    "accession": row.accession,
+                    "filename": f"{row.cik}_{str(row.form_type).replace('-', '')}"
+                                f"_{year}_{row.accession}.htm",
+                    "host_bucket": int(row.host_bucket),
+                    "wave": int(row.wave),
+                    "attempts": attempts,
+                    "status": status,
+                    "sched_ts": float(t),
+                    "fetched_bytes": len(body) if body is not None else 0,
+                }
+            )
+        return pd.DataFrame(out)
+
+    return wave_df.groupBy("host_bucket").applyInPandas(run_bucket, FETCH_SCHEMA)

@@ -1,0 +1,134 @@
+"""Crawl ordering: reference reproduction + salted priority queue.
+
+Two orderings coexist:
+
+1. `reference_order` — the EXACT order the reference visits filings
+   (/root/reference/download_filings.py:115-183): quarter TSVs are
+   concatenated year-asc, quarter-asc, and within a quarter the index
+   row order is preserved; type/CIK filters run before ordering. This
+   is the parity spec — tests assert sequence equality against a
+   single-process oracle.
+
+2. `priority_order` — the north-star scheduling order: form-type
+   weight desc, filing-date desc, accession asc tiebreak. Globally
+   ordered via `repartitionByRange` on the priority key (range
+   exchange samples the key distribution, so skewed dates don't pile
+   into one partition) + `sortWithinPartitions` — never a single-task
+   global sort.
+
+`assign_waves` converts priority order into politeness waves: URLs are
+salted into host buckets (canon.host_bucket_col), ranked within their
+bucket, and chopped into fixed-size waves. One wave × one bucket is
+the unit handed to the fetch stage, so each fetch task owns a slice of
+the per-host budget (politeness.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .canon import host_bucket_col
+
+# reference form-type ordering intent (north_star: form-type weight);
+# weights chosen so 8-K (timeliest) > 10-K > 10-Q > everything else
+FORM_WEIGHTS = {"8-K": 10, "10-K": 8, "10-Q": 6}
+
+
+def form_weight_col(col: str = "form_type") -> F.Column:
+    w = F.lit(1)
+    for form, weight in FORM_WEIGHTS.items():
+        w = F.when(F.col(col) == form, F.lit(weight)).otherwise(w)
+    return w.cast("int")
+
+
+def reference_order(index_df: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Deterministic reference visit order. Expects columns
+    (year int, quarter int, row_seq long) where row_seq is the row's
+    ordinal inside its quarter TSV — (year, quarter, row_seq) is a
+    unique key by construction. Emits `visit_seq` starting at 0.
+
+    Scale design: a global `row_number()` window would funnel the whole
+    frontier into ONE task. Instead: range exchange on the composite
+    key (each partition = a contiguous slice of the global order,
+    sampled so skewed years don't pile up), sort within partitions,
+    then number globally by adding each partition's start offset —
+    offsets come from a per-partition count (a few hundred longs on
+    the driver), never the data.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    keys = ["year", "quarter", "row_seq"]
+    n = n_partitions or index_df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        index_df.repartitionByRange(n, *[F.col(k).asc() for k in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ordered.schema.fields
+    ) + ", visit_seq long"
+
+    def number(batches):
+        local = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            start = offsets[pid] + local.get(pid, 0)
+            pdf = pdf.copy()
+            pdf["visit_seq"] = pd.RangeIndex(start, start + len(pdf)).astype("int64")
+            local[pid] = local.get(pid, 0) + len(pdf)
+            yield pdf
+
+    return ordered.mapInPandas(number, schema).drop("_pid")
+
+
+def priority_order(frontier: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """North-star priority: (form_weight desc, filing_date desc,
+    accession asc). Adds `form_weight`; returns the frontier
+    range-partitioned + sorted on the priority key.
+    """
+    df = frontier.withColumn("form_weight", form_weight_col())
+    keys = [
+        F.col("form_weight").desc(),
+        F.col("filing_date").desc(),
+        F.col("accession").asc(),
+    ]
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
+
+
+def assign_waves(
+    frontier: DataFrame,
+    n_buckets: int,
+    wave_size: int,
+    url_col: str = "url",
+) -> DataFrame:
+    """Salt into host buckets, rank by priority within bucket, chop
+    into waves of `wave_size`. Adds (host_bucket, bucket_rank, wave).
+
+    The only shuffle is the window's hash exchange on host_bucket —
+    the same partitioning the fetch stage needs, so Catalyst reuses it
+    (no second exchange before applyInPandas on host_bucket).
+    """
+    df = frontier.withColumn("host_bucket", host_bucket_col(url_col, n_buckets))
+    if "form_weight" not in df.columns:
+        df = df.withColumn("form_weight", form_weight_col())
+    w = Window.partitionBy("host_bucket").orderBy(
+        F.col("form_weight").desc(),
+        F.col("filing_date").desc(),
+        F.col("accession").asc(),
+    )
+    return (
+        df.withColumn("bucket_rank", F.row_number().over(w).cast("long") - 1)
+        .withColumn("wave", (F.col("bucket_rank") / wave_size).cast("long"))
+    )

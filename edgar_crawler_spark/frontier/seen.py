@@ -1,0 +1,98 @@
+"""URL-seen: distributed bloom build + (bloom pre-filter → exact anti-join).
+
+Reference semantics (/root/reference/download_filings.py:151-158): a
+frontier row survives iff its `html_index` URL is absent from the
+metadata ledger. Exactness is non-negotiable (a false "seen" would
+silently drop a filing), so the bloom is ONLY a pre-filter: rows the
+bloom flags as maybe-seen go through an exact left-anti join; rows the
+bloom clears skip the join entirely. At 10^10 seen URLs with a fresh
+frontier that is mostly-unseen, the anti-join input shrinks by ~99%
+(the bloom's true-positive + fpp fraction), which is the difference
+between shuffling 10^10 rows and shuffling 10^8.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bloom import BloomFilter, ShardedBloom, shard_of
+
+
+def build_sharded_bloom(
+    seen: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 16,
+    expected_per_shard: int | None = None,
+    fpp: float = 0.01,
+) -> ShardedBloom:
+    """Build the sharded bloom distributed: every input partition folds
+    its rows into per-shard bitmaps (map-side), then bitmaps OR-merge
+    per shard in a tiny shuffle of `n_shards × partitions` rows. The
+    driver only ever sees finished bitmaps.
+    """
+    if expected_per_shard is None:
+        n = seen.count()
+        expected_per_shard = max(64, (n + n_shards - 1) // n_shards)
+    exp, p, ns = expected_per_shard, fpp, n_shards
+
+    def fold(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local: dict[int, BloomFilter] = {}
+        for pdf in pdfs:
+            for key in pdf[url_col].astype(str):
+                s = shard_of(key, ns)
+                bf = local.get(s)
+                if bf is None:
+                    bf = local[s] = BloomFilter.empty(exp, p)
+                bf.add(key)
+        if local:
+            yield pd.DataFrame(
+                {
+                    "shard": list(local.keys()),
+                    "bitmap": [bf.to_bytes() for bf in local.values()],
+                }
+            )
+
+    partial = seen.select(url_col).mapInPandas(fold, "shard int, bitmap binary")
+    rows = partial.collect()
+    shards: dict[int, BloomFilter] = {}
+    for r in rows:
+        bf = BloomFilter.from_bytes(bytes(r["bitmap"]))
+        shards[r["shard"]] = shards[r["shard"]].merge(bf) if r["shard"] in shards else bf
+    return ShardedBloom(n_shards=ns, shards=shards)
+
+
+def filter_unseen(
+    frontier: DataFrame,
+    seen: DataFrame,
+    bloom: ShardedBloom | None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Frontier rows whose canonical URL is NOT in `seen` — exact.
+
+    With a bloom: maybe-seen rows take the exact anti-join, clear rows
+    bypass it, and the two legs union back. Without one, plain
+    anti-join. `seen` is broadcast when small; at scale both sides
+    hash-partition on the url (Catalyst picks SortMergeJoin and AQE
+    handles residual skew — the url key is near-unique so none).
+    """
+    if bloom is None:
+        return frontier.join(seen.select(url_col), on=url_col, how="left_anti")
+
+    spark = frontier.sparkSession
+    b = spark.sparkContext.broadcast(bloom.to_rows())
+    ns = bloom.n_shards
+
+    @F.pandas_udf("boolean")
+    def maybe_seen(urls: pd.Series) -> pd.Series:
+        sb = ShardedBloom.from_rows(ns, b.value)
+        return pd.Series(sb.might_contain_many(urls.astype(str).tolist()))
+
+    flagged = frontier.withColumn("_maybe_seen", maybe_seen(F.col(url_col)))
+    clear = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    suspect = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    survivors = suspect.join(seen.select(url_col), on=url_col, how="left_anti")
+    return clear.unionByName(survivors)

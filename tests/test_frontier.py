@@ -1,0 +1,298 @@
+"""Frontier semantics tests (SURVEY.md §5 item 3).
+
+- canonicalization: Spark expression ≡ pure-Python mirror
+- bloom: zero false negatives, bounded fpp, roundtrip
+- URL-seen: bloom-prefiltered path ≡ exact anti-join
+- ordering: reference_order ≡ single-process oracle
+- politeness: per-bucket pacing + total host budget never exceeded
+- end-to-end crawl: every URL fetched exactly once; kill+resume from
+  snapshot refetches nothing and misses nothing; retries recover
+  transient failures; requeue_failed re-enqueues permanent ones.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from edgar_crawler_spark.frontier import (
+    BloomFilter,
+    CrawlJob,
+    ShardedBloom,
+    SnapshotStore,
+    TokenBucket,
+    assign_waves,
+    canonicalize_url,
+    canonicalize_url_py,
+    filter_unseen,
+    reference_order,
+)
+from edgar_crawler_spark.frontier.bloom import shard_of
+from edgar_crawler_spark.frontier.fetch import MAX_RETRIES, SimulatedTransport
+from edgar_crawler_spark.frontier.seen import build_sharded_bloom
+from edgar_crawler_spark.synth import accession_number, filing_url
+
+CANON_CASES = [
+    # iXBRL rewrite (download_filings.py:703-705)
+    ("https://www.sec.gov/ix?doc=/Archives/edgar/data/320193/a.htm",
+     "https://www.sec.gov/Archives/edgar/data/320193/a.htm"),
+    # bare 18-digit accession -> dashed normal form
+    ("https://www.sec.gov/Archives/edgar/data/320193/000032019324000123.txt",
+     "https://www.sec.gov/Archives/edgar/data/320193/0000320193-24-000123.txt"),
+    # host case + default port + fragment
+    ("HTTPS://WWW.SEC.GOV:443/Archives/x.htm#item7",
+     "https://www.sec.gov/Archives/x.htm"),
+    ("http://www.sec.gov:80/", "http://www.sec.gov/"),
+    # already canonical: unchanged
+    ("https://www.sec.gov/Archives/edgar/data/1/0000000001-20-000001-index.html",
+     "https://www.sec.gov/Archives/edgar/data/1/0000000001-20-000001-index.html"),
+]
+
+
+def _frontier_rows(n: int, seed: int = 3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        cik = str(rng.randint(1000, 99999))
+        acc = accession_number(seed, i)
+        rows.append(
+            (
+                filing_url(cik, acc),
+                cik,
+                f"CO {i}",
+                rng.choice(["8-K", "10-K", "10-Q"]),
+                f"{rng.randint(2015, 2024)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}",
+                acc,
+            )
+        )
+    return rows
+
+
+FRONTIER_SCHEMA = (
+    "url string, cik string, company string, form_type string, "
+    "filing_date string, accession string"
+)
+
+
+def _frontier_df(spark, n: int, seed: int = 3):
+    return spark.createDataFrame(_frontier_rows(n, seed), FRONTIER_SCHEMA)
+
+
+class TestCanon:
+    def test_pure_cases(self):
+        for raw, want in CANON_CASES:
+            assert canonicalize_url_py(raw) == want, raw
+
+    def test_spark_matches_python(self, spark):
+        raws = [c[0] for c in CANON_CASES] + [r[0] for r in _frontier_rows(50)]
+        df = spark.createDataFrame([(u,) for u in raws], "url string")
+        got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+        assert got == [canonicalize_url_py(u) for u in raws]
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fpp(self):
+        keys = [f"https://www.sec.gov/Archives/{i}.txt" for i in range(5000)]
+        bf = BloomFilter.empty(len(keys), fpp=0.01)
+        bf.add_many(keys)
+        assert all(bf.might_contain(k) for k in keys)
+        probes = [f"https://other/{i}" for i in range(5000)]
+        fp = sum(bf.might_contain(p) for p in probes) / len(probes)
+        assert fp < 0.03
+
+    def test_sharded_roundtrip(self):
+        keys = [f"u{i}" for i in range(2000)]
+        shards: dict[int, BloomFilter] = {}
+        for k in keys:
+            s = shard_of(k, 8)
+            shards.setdefault(s, BloomFilter.empty(300, 0.01)).add(k)
+        sb = ShardedBloom(8, shards)
+        sb2 = ShardedBloom.from_rows(8, sb.to_rows())
+        assert all(sb2.might_contain(k) for k in keys)
+        assert len(set(shard_of(k, 8) for k in keys)) == 8  # all shards used
+
+    def test_distributed_build_matches(self, spark):
+        df = _frontier_df(spark, 400).repartition(7)
+        sb = build_sharded_bloom(df, n_shards=4, fpp=0.01)
+        urls = [r.url for r in df.select("url").collect()]
+        assert all(sb.might_contain(u) for u in urls)
+
+
+class TestUrlSeen:
+    def test_prefiltered_equals_exact(self, spark):
+        frontier = _frontier_df(spark, 300, seed=1)
+        # seen = half of frontier + some foreign urls
+        seen = (
+            frontier.sample(0.5, seed=42)
+            .select("url")
+            .unionByName(
+                spark.createDataFrame(
+                    [(f"https://elsewhere/{i}",) for i in range(100)], "url string"
+                )
+            )
+        ).cache()
+        bloom = build_sharded_bloom(seen, n_shards=4)
+        got = sorted(
+            r.url for r in filter_unseen(frontier, seen, bloom).select("url").collect()
+        )
+        want = sorted(
+            r.url
+            for r in frontier.join(seen, "url", "left_anti").select("url").collect()
+        )
+        assert got == want
+        assert 0 < len(got) < 300
+
+
+class TestOrdering:
+    def test_reference_order_matches_oracle(self, spark):
+        rng = random.Random(9)
+        seq: dict[tuple[int, int], int] = {}
+        rows = []
+        for i in range(500):
+            yq = (rng.randint(2018, 2021), rng.randint(1, 4))
+            rows.append((yq[0], yq[1], seq.get(yq, 0), f"acc{i}"))
+            seq[yq] = seq.get(yq, 0) + 1
+        df = spark.createDataFrame(
+            rows, "year int, quarter int, row_seq long, accession string"
+        ).repartition(8)
+        got = [
+            r.accession
+            for r in reference_order(df).orderBy("visit_seq").collect()
+        ]
+        want = [a for _, _, _, a in sorted(rows, key=lambda r: (r[0], r[1], r[2]))]
+        assert got == want
+
+    def test_assign_waves(self, spark):
+        df = assign_waves(_frontier_df(spark, 400), n_buckets=4, wave_size=25)
+        pdf = df.toPandas()
+        assert set(pdf.host_bucket.unique()) <= set(range(4))
+        # wave sizes bounded; within-bucket priority is monotone
+        for (_, w), grp in pdf.groupby(["host_bucket", "wave"]):
+            assert len(grp) <= 25
+        for _, grp in pdf.groupby("host_bucket"):
+            g = grp.sort_values("bucket_rank")
+            keys = list(
+                zip(-g.form_weight, [tuple(-ord(c) for c in d) for d in g.filing_date], g.accession)
+            )
+            assert keys == sorted(keys)
+
+
+class TestPoliteness:
+    def test_token_bucket_rate(self):
+        tb = TokenBucket(rate=2.0, burst=1.0)
+        times = [tb.acquire() for _ in range(21)]
+        assert times == sorted(times)
+        # after the initial burst token, steady state is 1/rate gaps
+        gaps = [b - a for a, b in zip(times[1:], times[2:])]
+        assert all(g >= 0.5 - 1e-9 for g in gaps)
+        assert times[-1] >= 19 * 0.5 - 1e-9
+
+    def test_crawl_respects_host_budget(self, spark, tmp_path):
+        job = CrawlJob(
+            spark,
+            SnapshotStore(str(tmp_path / "store")),
+            n_buckets=4,
+            wave_size=50,
+            host_budget_per_sec=10.0,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+        )
+        job.run(_frontier_df(spark, 200), max_waves=1)
+        log = job.pages().select("host_bucket", "sched_ts").toPandas()
+        rate = 10.0 / 4
+        for _, grp in log.groupby("host_bucket"):
+            ts = sorted(grp.sched_ts)
+            gaps = [b - a for a, b in zip(ts, ts[1:])]
+            # burst=1: beyond the first token every send is paced
+            assert all(g >= 1 / rate - 1e-6 for g in gaps[1:] + gaps[:1] if g > 0) or all(
+                g >= 1 / rate - 1e-6 for g in gaps[1:]
+            )
+        # total host throughput over the wave ≤ budget (+ burst slack)
+        ts_all = sorted(log.sched_ts)
+        span = max(ts_all[-1] - ts_all[0], 1e-9)
+        assert (len(ts_all) - 4) / span <= 10.0 + 1e-6
+
+
+class TestCrawlEndToEnd:
+    def test_exactly_once_and_metrics(self, spark, tmp_path):
+        n = 150
+        job = CrawlJob(
+            spark,
+            SnapshotStore(str(tmp_path / "s1")),
+            n_buckets=4,
+            wave_size=20,
+            transport_factory=lambda: SimulatedTransport(transient_pct=20),
+        )
+        res = job.run(_frontier_df(spark, n))
+        pages = job.pages().cache()
+        assert res.n_fetched == n and res.n_failed == 0
+        assert pages.count() == n
+        assert pages.select("url").distinct().count() == n
+        # retries actually happened and recovered
+        assert pages.filter(F.col("attempts") > 1).count() > 0
+        assert pages.filter(F.col("status") != "ok").count() == 0
+        # bodies are real filings (non-empty, deterministic)
+        assert pages.filter(F.length("html") > 100).count() == n
+        # lineage metrics exist for every wave×bucket that fetched
+        m = job.metrics().toPandas()
+        assert m.n_urls.sum() == n
+        assert (m.urls_per_sec > 0).all()
+        assert set(m.columns) >= {
+            "wave", "host_bucket", "partition_id", "n_urls", "n_ok",
+            "n_failed", "sum_attempts", "sum_bytes", "t_first", "t_last",
+            "urls_per_sec",
+        }
+
+    def test_kill_and_resume_exactness(self, spark, tmp_path):
+        n = 120
+        root = str(tmp_path / "s2")
+        job1 = CrawlJob(
+            spark, SnapshotStore(root), n_buckets=4, wave_size=10,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+        )
+        r1 = job1.run(_frontier_df(spark, n), max_waves=2)
+        assert 0 < r1.n_fetched < n  # mid-crawl "kill"
+
+        # fresh objects = restarted process; frontier arg ignored on resume
+        job2 = CrawlJob(
+            spark, SnapshotStore(root), n_buckets=4, wave_size=10,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+        )
+        r2 = job2.run(_frontier_df(spark, n))
+        pages = job2.pages()
+        assert r1.n_fetched + r2.n_fetched == n
+        assert pages.count() == n  # no double fetch ...
+        assert pages.select("url").distinct().count() == n  # ... no miss
+        # and byte-determinism across the kill boundary: same url -> same body
+        want = {r.url: bytes(r.html) for r in _rerun_reference(spark, tmp_path, n)}
+        got = {r.url: bytes(r.html) for r in pages.select("url", "html").collect()}
+        assert got == want
+
+    def test_permanent_failures_requeue(self, spark, tmp_path):
+        job = CrawlJob(
+            spark, SnapshotStore(str(tmp_path / "s3")), n_buckets=2, wave_size=40,
+            transport_factory=lambda: SimulatedTransport(
+                transient_pct=0, permanent_pct=10
+            ),
+        )
+        res = job.run(_frontier_df(spark, 80))
+        assert res.n_failed > 0
+        pages = job.pages()
+        failed = pages.filter(F.col("status") != "ok")
+        assert failed.filter(F.col("attempts") != MAX_RETRIES).count() == 0
+        n_req = job.requeue_failed()
+        assert n_req == failed.select("url").distinct().count()
+        # after requeue the frontier holds exactly the failed urls
+        frontier = job.store.read(spark, "frontier")
+        assert frontier.count() == n_req
+
+
+def _rerun_reference(spark, tmp_path, n):
+    """Uninterrupted oracle crawl over the same frontier."""
+    job = CrawlJob(
+        spark, SnapshotStore(str(tmp_path / "oracle")), n_buckets=4, wave_size=1000,
+        transport_factory=lambda: SimulatedTransport(transient_pct=0),
+    )
+    job.run(_frontier_df(spark, n))
+    return job.pages().select("url", "html").collect()
