@@ -38,6 +38,9 @@ HEADLINE = [
     "wave_assignment",
     "sessionize",
     "dedup_exact",
+    "dedup_norm_exact",
+    "simhash_dedup",
+    "ann_lsh_topk",
     "token_stats",
     "quality_score",
     "fingerprint_prefix",

@@ -1,0 +1,232 @@
+"""Deduplication operators for a training-data pipeline.
+
+All the classic web-corpus dedup families over the `documents` table
+(doc_id, text, lang, source), built as NATIVE Spark expressions —
+tokenization, n-grams, MinHash, SimHash, Jaccard all stay inside
+whole-stage codegen; there is no Python in any hot path here.
+
+Scale design (100 TB corpus, 10^9-10^10 docs):
+- exact/normalized dedup: the hash is computed in the scan projection,
+  so the groupBy shuffles 48-byte (hash, id) pairs — never text.
+- MinHash: signature is a per-row map-side projection. LSH banding
+  explodes to (doc, band, bucket-key) rows — #bands × docs, still no
+  text — and the candidate generation is a self-equi-join on
+  (band, bkey): a plain hash shuffle that AQE's skew-join splitting
+  handles when a bucket is hot (boilerplate-heavy corpora produce
+  mega-buckets; that split is exactly Spark's skew story).
+- Verification (exact Jaccard on candidates) joins token arrays back
+  in only for the candidate ids — the expensive payload rides the
+  narrow side of the join.
+- SimHash: one explode + 16 conditional sums = one hash aggregate;
+  near-dup lookup is then an equality (or small-Hamming-ball) probe.
+
+Hash choice: md5 (Spark and DuckDB produce identical lowercase hex,
+which is what makes every operator here oracle-checkable). Taking the
+lexicographic MIN of md5("<i>|"+shingle) per hash index i is a valid
+MinHash family — md5 is a uniform permutation of the shingle space and
+lexicographic order on fixed-width hex is a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column | str, *, distinct: bool = False, lower: bool = True) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    if lower:
+        c = F.lower(c)
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    return F.array_distinct(toks) if distinct else toks
+
+
+def ngrams_col(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array (n>=2), joined with single spaces."""
+    if n < 2:
+        return toks
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+
+    # F.sequence(1, 0) yields a DESCENDING [1, 0], so short arrays must
+    # short-circuit to empty explicitly.
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature_col(shingles: Column, k: int = 8) -> Column:
+    """Array of k MinHash values (32-hex strings)."""
+
+    def one_hash(i: int) -> Column:
+        # NB: the transform lambda must take exactly ONE parameter —
+        # pyspark binds a second parameter to the array index.
+        prefix = F.lit(f"{i}|")
+        return F.array_min(
+            F.transform(shingles, lambda t: F.md5(F.concat(prefix, t)))
+        )
+
+    return F.array(*[one_hash(i) for i in range(k)])
+
+
+def band_keys_col(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array<struct<band:int, bkey:string>>."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[sig[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard_col(a: Column, b: Column, nd: int = 4) -> Column:
+    """Exact Jaccard of two (distinct-element) arrays, rounded."""
+    return F.round(
+        F.size(F.array_intersect(a, b)).cast("double")
+        / F.size(F.array_union(a, b)),
+        nd,
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline.
+
+    Returns (id_a, id_b, jaccard) for candidate pairs sharing ≥1 LSH
+    band bucket whose EXACT token-set Jaccard ≥ threshold. With k=8,
+    bands=4 (r=2): P(candidate | j) = 1-(1-j²)⁴ ≈ 0.999 at j=0.9.
+    """
+    r = k // bands
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col, distinct=True).alias("s")
+    ).filter(F.size("s") > 0)
+    sig = toks.select("_id", minhash_signature_col(F.col("s"), k).alias("mh"))
+    bands_df = sig.select(
+        "_id", F.explode(band_keys_col(F.col("mh"), bands, r)).alias("bk")
+    ).select("_id", "bk.band", "bk.bkey")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("_id").alias("id_a"), F.col("s").alias("sa"))
+    tb = toks.select(F.col("_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", jaccard_col(F.col("sa"), F.col("sb")))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash16(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash per document (frequency-weighted: repeated tokens
+    vote repeatedly). Bit j = sign of Σ_tokens (±1 by the MSB of nibble
+    j of md5(token)). One explode + one hash aggregate; the result is
+    a LONG you can group or Hamming-probe.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_col(text_col)).alias("t")
+    ).withColumn("h", F.md5("t"))
+    votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).rlike("[89a-f]"), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = tok.groupBy("_id").agg(*votes)
+    bits = sum(
+        (F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)) for j in range(16)),
+        F.lit(0),
+    )
+    return agg.select(F.col("_id").alias(id_col), bits.cast("long").alias("simhash"))
+
+
+def oracle_minhash_lsh_pairs_sql(
+    k: int = 8, bands: int = 4, jaccard_threshold: float = 0.8
+) -> str:
+    """DuckDB oracle equivalent of `minhash_lsh_pairs` (same hash
+    family, so results match exactly)."""
+    r = k // bands
+    mh = ",\n      ".join(
+        f"list_min(list_transform(s, t -> md5('{i}|' || t)))" for i in range(k)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT _id, {b} AS band, md5({parts}) AS bkey FROM sig".format(
+            b=b,
+            parts=" || ".join(f"mh[{b * r + j + 1}]" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS _id,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                       x -> x <> '')) AS s
+      FROM documents
+      WHERE len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) > 0),
+    sig AS (
+      SELECT _id, [{mh}] AS mh FROM toks),
+    bands AS (
+      {band_rows}),
+    cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a._id < b._id)
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_intersect(ta.s, tb.s)) * 1.0 /
+                 len(list_distinct(list_concat(ta.s, tb.s))), 4) AS jaccard
+    FROM cand c
+    JOIN toks ta ON ta._id = c.id_a
+    JOIN toks tb ON tb._id = c.id_b
+    WHERE ROUND(len(list_intersect(ta.s, tb.s)) * 1.0 /
+                len(list_distinct(list_concat(ta.s, tb.s))), 4)
+          >= {jaccard_threshold}
+    """
+
+
+def oracle_simhash16_sql() -> str:
+    votes = ",\n      ".join(
+        f"SUM(CASE WHEN contains('89abcdef', substr(h, {j + 1}, 1)) "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS _id, md5(t) AS h
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    agg AS (
+      SELECT _id,
+      {votes}
+      FROM tok GROUP BY _id)
+    SELECT _id AS doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg
+    """

@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, both pure JVM expressions (no Python in the hot path):
+
+- brute-force exact cosine top-k (`cosine_topk`) — the baseline; the
+  dot product is zip_with + aggregate inside whole-stage codegen and
+  top-k compiles to TakeOrderedAndProject (each partition contributes
+  its local top-k; no global sort shuffle).
+
+- LSH-bucketed ANN (`lsh_topk`) — the scale path. Random-hyperplane
+  (sign) LSH with Rademacher ±1 projections derived from md5, so the
+  same projection is computable in any engine (that is what makes the
+  DuckDB oracle possible — no RNG state to ship). Every vector gets an
+  `nbits`-bit bucket; the query probes its own bucket plus all
+  Hamming-1 neighbors (bit_count(xor) ≤ 1), then scores exactly only
+  inside the probed buckets. At 10^10 vectors the bucket column is
+  computed once at ingest and the probe is a partition-pruned scan of
+  ~ (nbits+1)/2^nbits of the data (bucket as a partition/bucketing
+  key), turning an O(N) scan into O(N·probes/2^nbits).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a: Column, b: Column, nd: int = 4) -> Column:
+    return F.round(
+        dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b))), nd
+    )
+
+
+def rademacher_sign(bit: int, dim: int) -> int:
+    """±1 from the MSB of the first nibble of md5('<bit>|<dim>') —
+    deterministic, engine-independent (md5 is md5 everywhere)."""
+    h = hashlib.md5(f"{bit}|{dim}".encode()).hexdigest()
+    return 1 if h[0] in "89abcdef" else -1
+
+
+def lsh_bucket_col(emb: Column, nbits: int, dim: int) -> Column:
+    """Sign-LSH bucket in [0, 2^nbits): bit i = [Σ_d ±emb[d] > 0]."""
+    bucket = F.lit(0)
+    for i in range(nbits):
+        signs = F.array(*[F.lit(float(rademacher_sign(i, d))) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(emb, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec_id: int, k: int = 20,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    qv = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    return (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(id_col, cosine_col(F.col(vec_col), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    emb: DataFrame, query_vec_id: int, k: int = 20, *,
+    nbits: int = 8, dim: int = 64, max_hamming: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the query's LSH bucket + Hamming-`max_hamming`
+    neighbors, exact cosine only within the probed set."""
+    with_bucket = emb.withColumn(
+        "bucket", lsh_bucket_col(F.col(vec_col), nbits, dim)
+    )
+    qv = (
+        with_bucket.filter(F.col(id_col) == query_vec_id)
+        .select(F.col(vec_col).alias("qv"), F.col("bucket").alias("qbucket"))
+    )
+    return (
+        with_bucket.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .filter(F.expr(f"bit_count(bucket ^ qbucket) <= {max_hamming}"))
+        .select(id_col, cosine_col(F.col(vec_col), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def oracle_lsh_topk_sql(
+    query_vec_id: int = 0, k: int = 20, *, nbits: int = 8, dim: int = 64,
+    max_hamming: int = 1,
+) -> str:
+    """DuckDB oracle for `lsh_topk` — identical md5-derived projections."""
+    def proj(i: int) -> str:
+        return (
+            "list_sum([embedding[d] * (CASE WHEN contains('89abcdef', "
+            f"substr(md5({i} || '|' || (d-1)), 1, 1)) THEN 1.0 ELSE -1.0 END) "
+            f"for d in generate_series(1, {dim})])"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(i)} > 0 THEN {2**i} ELSE 0 END)" for i in range(nbits)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket
+      FROM embeddings),
+    q AS (
+      SELECT embedding AS qv, bucket AS qbucket FROM b
+      WHERE vec_id = {query_vec_id})
+    SELECT vec_id,
+           ROUND(list_dot_product(e.embedding, q.qv) /
+                 (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                  sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+    FROM b e CROSS JOIN q
+    WHERE e.vec_id <> {query_vec_id}
+      AND bit_count(xor(e.bucket, q.qbucket)) <= {max_hamming}
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT {k}
+    """

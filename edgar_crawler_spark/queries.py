@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .operators import dedup as D
+from .operators import similarity as S
 from .tables import load_table
 
 
@@ -772,6 +774,159 @@ def q_fingerprint_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@query(
+    "dedup_norm_exact",
+    oracle="""
+    SELECT norm_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS norm_hash
+          FROM documents)
+    GROUP BY norm_hash
+    """,
+    doc="Normalized-exact dedup: case/whitespace-insensitive content "
+        "hash. Hash computed in the scan projection; the groupBy "
+        "shuffles only (hash, id) — never text.",
+)
+def q_dedup_norm_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=D.oracle_minhash_lsh_pairs_sql(k=8, bands=4, jaccard_threshold=0.8),
+    doc="MinHash(k=8) → LSH banding (4 bands × 2 rows) → bucket "
+        "self-join → exact-Jaccard verify ≥ 0.8. The near-dup pipeline "
+        "of a web corpus: signatures are map-side projections, the "
+        "candidate join shuffles only (band, bkey, id) rows, and the "
+        "token arrays rejoin only for candidates. AQE skew-join "
+        "splitting absorbs boilerplate mega-buckets. "
+        "operators/dedup.py:minhash_lsh_pairs.",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, jaccard_threshold=0.8
+    )
+
+
+@query(
+    "simhash_dedup",
+    oracle=D.oracle_simhash16_sql(),
+    doc="16-bit frequency-weighted SimHash per document: one explode + "
+        "one hash aggregate with 16 conditional sums, all codegen. "
+        "Equal simhash = near-dup bucket. operators/dedup.py:simhash16.",
+)
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash16(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "jaccard_bigram_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_distinct([s[i] || ' ' || s[i+1]
+                            for i in generate_series(1, len(s)-1)]) AS gs
+      FROM (SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS s
+            FROM documents)
+      WHERE len(s) >= 2)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.gs, b.gs)) * 1.0 /
+                 len(list_distinct(list_concat(a.gs, b.gs))), 4) AS jaccard
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.gs, b.gs)) * 1.0 /
+                len(list_distinct(list_concat(a.gs, b.gs))), 4) >= 0.6
+    """,
+    doc="Word-bigram Jaccard near-dup pairs, blocked by source (the "
+        "blocking key bounds the quadratic pair space; within-block "
+        "pairs come from an equi-join on the block key, so the shuffle "
+        "is on source, not a cross join).",
+)
+def q_jaccard_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = D.tokens_col("text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", toks.alias("s"))
+        .filter(F.size("s") >= 2)
+        .select(
+            "doc_id", "source",
+            F.array_distinct(D.ngrams_col(F.col("s"), 2)).alias("gs"),
+        )
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"),
+        F.col("gs").alias("gs_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"),
+        F.col("gs").alias("gs_b"),
+    )
+    return (
+        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("jaccard", D.jaccard_col(F.col("gs_a"), F.col("gs_b")))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding, b.embedding) /
+                 (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                  sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.embedding, b.embedding) /
+                (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                 sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs, blocked by label (equi-join "
+        "on the block key; cosine in zip_with/aggregate, JVM-side).",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("lab_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lab_b"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, (F.col("lab_a") == F.col("lab_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_sim", S.cosine_col(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=S.oracle_lsh_topk_sql(query_vec_id=0, k=20, nbits=8, dim=64),
+    doc="LSH-bucketed ANN (the scale path for ann_cosine_topk): sign-"
+        "LSH with md5-derived Rademacher projections, probe = query "
+        "bucket + Hamming-1 neighbors, exact cosine only inside probed "
+        "buckets. At 10^10 vectors the bucket is a partition key and "
+        "the probe prunes ~96% of the scan. "
+        "operators/similarity.py:lsh_topk.",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
 
 
 # ---------------------------------------------------------------------------

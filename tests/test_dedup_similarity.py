@@ -1,0 +1,149 @@
+"""Unit tests for the dedup + similarity operator library, checked
+against in-process pure-Python oracles (independent of the DuckDB
+oracle path the driver uses)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from edgar_crawler_spark.operators import dedup as D
+from edgar_crawler_spark.operators import similarity as S
+from edgar_crawler_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def py_tokens(text: str, distinct: bool = True) -> list[str]:
+    toks = [t for t in __import__("re").split(r"\s+", text.lower()) if t != ""]
+    if distinct:
+        seen, out = set(), []
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+    return toks
+
+
+def py_minhash(tokens: list[str], k: int = 8) -> list[str]:
+    return [
+        min(hashlib.md5(f"{i}|{t}".encode()).hexdigest() for t in tokens)
+        for i in range(k)
+    ]
+
+
+def py_jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+class TestMinhash:
+    def test_signature_matches_python(self, spark, docs):
+        sample = docs.orderBy("doc_id").limit(5)
+        rows = sample.select(
+            "doc_id",
+            D.minhash_signature_col(D.tokens_col("text", distinct=True), 8).alias("mh"),
+            "text",
+        ).collect()
+        for r in rows:
+            assert list(r.mh) == py_minhash(py_tokens(r.text)), r.doc_id
+
+    def test_lsh_recall_on_high_jaccard_pairs(self, spark, docs):
+        got = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_lsh_pairs(docs, jaccard_threshold=0.8).collect()
+        }
+        # python oracle: all pairs with exact jaccard >= 0.9 among the
+        # first 120 docs (bounded for test speed)
+        texts = {
+            r.doc_id: set(py_tokens(r.text))
+            for r in docs.filter(F.col("doc_id") < 120).collect()
+        }
+        ids = sorted(texts)
+        high = [
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if py_jaccard(texts[a], texts[b]) >= 0.9
+        ]
+        assert len(high) > 10
+        recall = sum(p in got for p in high) / len(high)
+        # P(miss | j=0.9) = (1-0.81)^4 ≈ 0.13% per pair
+        assert recall >= 0.95
+        # and every reported pair really is >= 0.8 (verified, not just banded)
+        for r in D.minhash_lsh_pairs(docs, jaccard_threshold=0.8).limit(50).collect():
+            if r.id_a in texts and r.id_b in texts:
+                assert py_jaccard(texts[r.id_a], texts[r.id_b]) >= 0.7999
+
+    def test_ngrams(self, spark):
+        df = spark.createDataFrame([("a b c d",), ("x",)], "text string")
+        out = df.select(
+            D.ngrams_col(D.tokens_col("text"), 3).alias("g")
+        ).collect()
+        assert list(out[0].g) == ["a b c", "b c d"]
+        assert list(out[1].g) == []
+
+
+class TestSimhash:
+    def test_matches_python_oracle(self, spark, docs):
+        rows = docs.orderBy("doc_id").limit(5).collect()
+        got = {
+            r.doc_id: r.simhash
+            for r in D.simhash16(docs.filter(F.col("doc_id") < 5)).collect()
+        }
+        for r in rows[:5]:
+            votes = [0] * 16
+            for t in py_tokens(r.text, distinct=False):
+                h = hashlib.md5(t.encode()).hexdigest()
+                for j in range(16):
+                    votes[j] += 1 if h[j] in "89abcdef" else -1
+            want = sum(2**j for j in range(16) if votes[j] > 0)
+            assert got[r.doc_id] == want
+
+    def test_identical_text_same_hash(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "THE  QUICK\nBROWN fox"), (3, "other words here")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.simhash for r in D.simhash16(df).collect()}
+        assert out[1] == out[2] != out[3]
+
+
+class TestLshAnn:
+    def test_buckets_match_python(self, spark):
+        emb = load_table(spark, SF, "embeddings").limit(20)
+        rows = emb.select(
+            "vec_id", "embedding",
+            S.lsh_bucket_col(F.col("embedding"), 8, 64).alias("bucket"),
+        ).collect()
+        for r in rows:
+            want = 0
+            for i in range(8):
+                proj = sum(
+                    float(x) * S.rademacher_sign(i, d)
+                    for d, x in enumerate(r.embedding)
+                )
+                if proj > 0:
+                    want += 2**i
+            assert r.bucket == want, r.vec_id
+
+    def test_lsh_topk_is_exact_within_probes(self, spark):
+        emb = load_table(spark, SF, "embeddings").cache()
+        brute = {r.vec_id: r.cos_sim for r in S.cosine_topk(emb, 0, k=500).collect()}
+        lsh = S.lsh_topk(emb, 0, k=20).collect()
+        # sorted desc, and every reported cosine equals the exact one
+        sims = [r.cos_sim for r in lsh]
+        assert sims == sorted(sims, reverse=True)
+        for r in lsh:
+            assert math.isclose(brute[r.vec_id], r.cos_sim, abs_tol=1e-9)
+        # probing recalls some true top-20 neighbors
+        top20 = set(list(brute)[:20])
+        assert len({r.vec_id for r in lsh} & top20) > 0
