@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .operators import dedup as D
+from .operators import multimodal as M
 from .operators import similarity as S
 from .tables import load_table
 
@@ -927,6 +928,100 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
+
+
+@query(
+    "media_decode_meta",
+    oracle=M.oracle_decode_meta_sql(),
+    doc="Multimodal metadata decode: opaque binary payload → typed "
+        "(format, width, height, n_frames) via Arrow-batched "
+        "mapInPandas (1 row → 1 row). Codec is the deterministic fake "
+        "(md5-derived) — real PIL/ffmpeg decode is a clearly-marked "
+        "stub; the Spark plumbing is identical. "
+        "operators/multimodal.py:decode_meta.",
+)
+def q_media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return M.decode_meta(M.documents_as_media(docs))
+
+
+@query(
+    "media_frame_sample",
+    oracle=M.oracle_sample_frames_sql(every=4),
+    doc="Multimodal frame sampling: 1 row → N frame rows (the UDTF "
+        "shape) via mapInPandas; deterministic frame fingerprints. "
+        "operators/multimodal.py:sample_frames.",
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return M.sample_frames(M.documents_as_media(docs), every=4)
+
+
+@query(
+    "bpeish_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+                AS BIGINT) AS n_bpeish,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_ws
+    FROM documents
+    """,
+    doc="BPE-ish token counting: word/punctuation regex tokenizer vs "
+        "whitespace tokens, both as native regexp expressions "
+        "(explicit [A-Za-z0-9_] class so Java and RE2 agree).",
+)
+def q_bpeish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"))
+        .cast("long")
+        .alias("n_bpeish"),
+        F.size(ws).cast("long").alias("n_ws"),
+    )
+
+
+@query(
+    "winnow_fingerprints",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS s
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             [md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2])
+              for i in generate_series(1, len(s)-2)] AS hs
+      FROM t WHERE len(s) >= 6)
+    SELECT doc_id,
+           CAST(len(list_distinct(
+             [list_min(hs[i:i+3]) for i in generate_series(1, len(hs)-3)]
+           )) AS BIGINT) AS n_fingerprints
+    FROM g
+    """,
+    doc="Winnowing document fingerprints (rolling-hash family): hash "
+        "every word 3-gram, take the min hash in each sliding window "
+        "of 4, count distinct selected fingerprints — all array "
+        "expressions, no UDF.",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = D.tokens_col("text")
+    grams = D.ngrams_col(toks, 3)
+    hs = F.transform(grams, lambda g: F.md5(g))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(hs) - 3),
+        lambda i: F.array_min(F.slice(hs, i, 4)),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= 6)
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(wins)).cast("long").alias("n_fingerprints"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

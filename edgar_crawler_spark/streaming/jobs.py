@@ -1,0 +1,148 @@
+"""Structured Streaming jobs.
+
+The reference has NO streaming runtime (SURVEY.md §2.9) — its
+incrementality is "skip what's on disk" resume batching. Three
+streaming duals close that gap:
+
+1. `stream_extract` — continuous extraction: pages land in the pages
+   table (a file/Iceberg stream source); the SAME mapInPandas
+   extraction stage runs per micro-batch; the sink checkpoint gives
+   exactly-once. `Trigger.AvailableNow` drains the backlog and stops,
+   which is also how tests and backfills run it. Because extraction is
+   stateless map-side work, a micro-batch never shuffles.
+
+2. `stream_fetch_rate` — operational metrics: windowed fetch
+   throughput with a watermark bounding state for late fetch-log rows.
+
+3. `stream_frontier_foreachbatch` — the crawl loop as a stream: each
+   micro-batch of newly-discovered URLs runs the SAME wave pipeline
+   (seen-filter → priority → fetch → snapshot commit) via
+   foreachBatch. One micro-batch == one CrawlJob wave, so batch and
+   streaming share every operator and every test; the streaming
+   checkpoint tracks source offsets while the SnapshotStore remains
+   the source of truth for crawl state (idempotent per-wave commits →
+   exactly-once effects even on micro-batch replay).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..extraction import ExtractionOptions
+from ..operators.extract_job import RESULT_SCHEMA, make_extractor
+from ..synth import PAGES_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    pages_path: str,
+    out_path: str,
+    checkpoint: str,
+    options: ExtractionOptions | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-stream the pages table → extraction → parquet sink.
+    Incremental + exactly-once: the checkpoint remembers which page
+    files were processed; appending new files and re-running processes
+    only the delta (the streaming replacement for the reference's
+    skip-if-output-exists resume, extract_items.py:1484-1486)."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        # bound micro-batch size so executor memory is driven by
+        # config, not by however many files landed since last run
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_path)
+    )
+    extracted = pages.mapInPandas(make_extractor(options), schema=RESULT_SCHEMA)
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_fetch_rate(
+    fetch_log: DataFrame,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Windowed fetch throughput over a streaming fetch log
+    (warc_ts, status, fetched_bytes). Watermark bounds the state store:
+    windows older than the watermark are finalized and evicted — late
+    rows beyond it are dropped, which is the correct trade for an
+    operational metric."""
+    return (
+        fetch_log.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fetched"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("n_failed"),
+            F.sum("fetched_bytes").alias("sum_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_fetched",
+            "n_failed",
+            "sum_bytes",
+        )
+    )
+
+
+def stream_frontier_foreachbatch(
+    spark: SparkSession,
+    urls_path: str,
+    checkpoint: str,
+    crawl_job,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Discovered-URL stream → one crawl wave per micro-batch.
+
+    `crawl_job` is a frontier.CrawlJob whose SnapshotStore carries the
+    real state; foreachBatch only *feeds* it. Replayed micro-batches
+    are harmless: the wave pipeline starts with the URL-seen filter,
+    so re-delivered URLs dedupe against the committed seen set
+    (idempotent effects = streaming exactly-once)."""
+    from ..frontier.crawler import FRONTIER_COLS  # noqa: PLC0415
+
+    urls = (
+        spark.readStream.schema(
+            "url string, cik string, company string, form_type string, "
+            "filing_date string, accession string"
+        )
+        .option("maxFilesPerTrigger", 4)
+        .parquet(urls_path)
+    )
+
+    def one_wave(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        if crawl_job.store.latest() is None:
+            crawl_job.seed(batch_df.select(*FRONTIER_COLS))
+        else:
+            # merge the new URLs into the committed frontier
+            frontier = crawl_job.store.read(crawl_job.spark, "frontier")
+            seen = crawl_job.store.read(crawl_job.spark, "seen")
+            merged = (
+                frontier.unionByName(batch_df.select(*FRONTIER_COLS))
+                .dropDuplicates(["url"])
+            )
+            crawl_job.store.commit(
+                {"frontier": merged, "seen": seen},
+                summary={"stage": "stream_merge", "batch_id": batch_id},
+            )
+        crawl_job.run(max_waves=None)
+
+    writer = (
+        urls.writeStream.foreachBatch(one_wave)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
