@@ -83,6 +83,95 @@ class SimulatedTransport:
         return body.encode("utf-8")
 
 
+FETCH_EXTRACT_SCHEMA = (
+    "url string, cik string, form_type string, filing_date string, "
+    "accession string, host_bucket int, wave long, attempts int, "
+    "status string, sched_ts double, fetched_bytes long, "
+    "n_items int, items_digest string"
+)
+
+
+def fetch_extract_wave(
+    wave_df: DataFrame,
+    host_budget_per_sec: float = 10.0,
+    n_buckets: int = 8,
+    transport_factory: Callable[[], SimulatedTransport] | None = None,
+    extraction_options=None,
+) -> DataFrame:
+    """Fused fetch + extract: one applyInPandas stage that fetches a
+    URL and runs ExtractItems on the body in the SAME python worker,
+    emitting only the (small) extraction result.
+
+    Why fuse: the page body is the big payload (KBs-MBs); a separate
+    fetch stage materializes it through Arrow → JVM → table → Arrow →
+    python again before extraction ever sees it. When the downstream
+    is extraction (the common case), fusing removes both transfers —
+    at 10^10 pages that is the difference between moving the corpus
+    through the executor twice and zero times. The un-fused
+    `fetch_wave` remains for when raw pages must land in the pages
+    table first (archival crawls); `CrawlJob` uses that path.
+    Politeness, retries and scheduling are identical to `fetch_wave`.
+    """
+    import hashlib as _hashlib  # noqa: PLC0415
+
+    from ..extraction import ExtractionOptions, extract_filing  # noqa: PLC0415
+
+    rate = per_bucket_rate(host_budget_per_sec, n_buckets)
+    tf = transport_factory or SimulatedTransport
+    opts = extraction_options or ExtractionOptions()
+
+    def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        transport = tf() if not isinstance(tf, SimulatedTransport) else tf
+        pdf = pdf.sort_values("bucket_rank", kind="mergesort")
+        bucket = TokenBucket(rate=rate, burst=1.0)
+        out = []
+        for row in pdf.itertuples(index=False):
+            attempts, body, t = 0, None, 0.0
+            while attempts < MAX_RETRIES and body is None:
+                attempts += 1
+                t = bucket.acquire()
+                body = transport.get(row.url, row.form_type, attempts)
+                if body is None and attempts < MAX_RETRIES:
+                    bucket.now += BACKOFF_FACTOR * (2 ** (attempts - 1))
+            n_items, digest = 0, None
+            if body is not None:
+                md = {
+                    "CIK": row.cik, "Company": row.company,
+                    "Type": row.form_type, "Date": row.filing_date,
+                    "filename": None,
+                }
+                try:
+                    result = extract_filing(body, md, opts) or {}
+                except Exception:  # noqa: BLE001 - quarantine bad rows
+                    result = {}
+                items = sorted(
+                    (k, v) for k, v in result.items()
+                    if (k.startswith(("item_", "part_")) or k == "SIGNATURE")
+                    and isinstance(v, str) and v
+                )
+                n_items = len(items)
+                digest = _hashlib.md5(
+                    "\x00".join(f"{k}\x01{v}" for k, v in items).encode("utf-8")
+                ).hexdigest()
+            out.append(
+                {
+                    "url": row.url, "cik": row.cik, "form_type": row.form_type,
+                    "filing_date": row.filing_date, "accession": row.accession,
+                    "host_bucket": int(row.host_bucket), "wave": int(row.wave),
+                    "attempts": attempts,
+                    "status": "ok" if body is not None else "failed",
+                    "sched_ts": float(t),
+                    "fetched_bytes": len(body) if body is not None else 0,
+                    "n_items": n_items, "items_digest": digest,
+                }
+            )
+        return pd.DataFrame(out)
+
+    return wave_df.groupBy("host_bucket").applyInPandas(
+        run_bucket, FETCH_EXTRACT_SCHEMA
+    )
+
+
 def fetch_wave(
     wave_df: DataFrame,
     host_budget_per_sec: float = 10.0,

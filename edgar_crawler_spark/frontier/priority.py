@@ -123,6 +123,13 @@ def assign_waves(
     df = frontier.withColumn("host_bucket", host_bucket_col(url_col, n_buckets))
     if "form_weight" not in df.columns:
         df = df.withColumn("form_weight", form_weight_col())
+    # Pin the exchange: frontier rows are tiny, so AQE's byte-based
+    # coalescing would fold this shuffle into ~1 partition — but the
+    # downstream fetch stage's cost is per-ROW (python + network), not
+    # per-byte. An explicit repartition is exempt from AQE coalescing
+    # and is reused by both the window and the groupBy/applyInPandas
+    # fetch (same clustering key -> no further exchange).
+    df = df.repartition(n_buckets, F.col("host_bucket"))
     w = Window.partitionBy("host_bucket").orderBy(
         F.col("form_weight").desc(),
         F.col("filing_date").desc(),

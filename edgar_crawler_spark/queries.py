@@ -629,6 +629,133 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.subtract(low)
 
 
+@query(
+    "filename_derivation",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_replace(o_orderpriority, '[-/\\\\]', '', 'g') AS type_clean,
+           CAST(o_custkey AS VARCHAR) || '_' ||
+             regexp_replace(o_orderpriority, '[-/\\\\]', '', 'g') || '_' ||
+             strftime(o_orderdate, '%Y') || '_' ||
+             CAST(o_orderkey AS VARCHAR) AS filename,
+           regexp_replace('https://www.sec.gov/ix?doc=/Archives/x' ||
+                          CAST(o_orderkey AS VARCHAR) || '.htm',
+                          'ix\\?doc=/', '') AS fetch_url
+    FROM orders
+    """,
+    doc="Filename/URL scalar derivation (download_filings.py:703-723): "
+        "de-special-char the form type, build "
+        "{CIK}_{TYPE}_{YEAR}_{accession}, iXBRL ix?doc=/ rewrite — all "
+        "native regexp/concat expressions (these are ledger columns, "
+        "not fixture-compared text, so Java regex is fine per "
+        "SURVEY.md §2.8).",
+)
+def q_filename_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    type_clean = F.regexp_replace("o_orderpriority", r"[-/\\]", "")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        type_clean.alias("type_clean"),
+        F.concat_ws(
+            "_",
+            F.col("o_custkey").cast("string"),
+            type_clean,
+            F.date_format("o_orderdate", "yyyy"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("filename"),
+        F.regexp_replace(
+            F.concat(
+                F.lit("https://www.sec.gov/ix?doc=/Archives/x"),
+                F.col("o_orderkey").cast("string"),
+                F.lit(".htm"),
+            ),
+            r"ix\?doc=/",
+            "",
+        ).alias("fetch_url"),
+    )
+
+
+@query(
+    "macrodiscl_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_macro AS BIGINT) AS n_macro,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_macro * 1000.0 / GREATEST(n_tokens, 1), 3) AS score
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text),
+                 '\\b(economy|economic|inflation|unemployment|gdp|recession|interest rates?)\\b'))
+               AS n_macro,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents)
+    """,
+    doc="MacroDiscl-style dictionary scoring "
+        "(calculate_macro_discl.py:175-273): word-boundary dictionary "
+        "hits per 1000 tokens, as one native regexp alternation (the "
+        "broadcast-dictionary pattern compiled into the expression).",
+)
+def q_macrodiscl_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dict_re = r"\b(economy|economic|inflation|unemployment|gdp|recession|interest rates?)\b"
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit(dict_re)).alias("n_macro"),
+        F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""))
+        .alias("n_tokens"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_macro").cast("long").alias("n_macro"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("n_macro") * 1000.0 / F.greatest(F.col("n_tokens"), F.lit(1)), 3
+        ).alias("score"),
+    )
+
+
+@query(
+    "missing_years_arrays",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(year(MIN(o_orderdate)) AS BIGINT) AS y0,
+             CAST(year(MAX(o_orderdate)) AS BIGINT) AS y1
+      FROM orders),
+    per AS (
+      SELECT o_custkey AS cik,
+             list_sort(list(DISTINCT CAST(year(o_orderdate) AS BIGINT)))
+               AS years_present
+      FROM orders GROUP BY 1)
+    SELECT p.cik, p.years_present,
+           list_filter(generate_series(s.y0, s.y1),
+                       y -> NOT list_contains(p.years_present, y))
+             AS years_missing
+    FROM per p CROSS JOIN span s
+    """,
+    doc="Missing-years per firm as ARRAYS (download_manager.py:396-421): "
+        "collect_set of present years vs the global expected sequence, "
+        "array_except for the gap list — the collect_set/array_except "
+        "pattern from SURVEY.md §2.4/§2.7.",
+)
+def q_missing_years_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    span = orders.agg(
+        F.year(F.min("o_orderdate")).cast("long").alias("y0"),
+        F.year(F.max("o_orderdate")).cast("long").alias("y1"),
+    )
+    per_firm = orders.groupBy(F.col("o_custkey").alias("cik")).agg(
+        F.array_sort(F.collect_set(F.year("o_orderdate").cast("long"))).alias(
+            "years_present"
+        )
+    )
+    return per_firm.crossJoin(F.broadcast(span)).select(
+        "cik",
+        "years_present",
+        F.array_except(
+            F.sequence(F.col("y0"), F.col("y1")), F.col("years_present")
+        ).alias("years_missing"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: dedup / text stats (documents table)
 # ---------------------------------------------------------------------------

@@ -126,6 +126,34 @@ def make_pages(seed: int, n: int, start: str = "2015-01-01") -> list[dict]:
     return rows
 
 
+FRONTIER_SCHEMA = (
+    "url string, cik string, company string, form_type string, "
+    "filing_date string, accession string"
+)
+
+
+def frontier_df(spark, seed: int, n: int, n_parts: int | None = None):
+    """Frontier-only rows (no filing bodies — cheap at any n); same
+    url/metadata derivation as make_pages so the two line up."""
+    n_parts = n_parts or max(1, min(256, n // 2000))
+    sc = spark.sparkContext
+    t0 = datetime.fromisoformat("2015-01-01").replace(tzinfo=timezone.utc)
+
+    def gen(split):
+        lo = split * n // n_parts
+        hi = (split + 1) * n // n_parts
+        for i in range(lo, hi):
+            rng = _rng(seed, "page", i)
+            form = FORM_TYPES[rng.randrange(3)] if n > 10 else "8-K"
+            cik = str(rng.randint(1000, 9999999))
+            acc = accession_number(seed, i)
+            date = (t0 + timedelta(days=rng.randint(0, 3650))).date().isoformat()
+            yield (filing_url(cik, acc), cik, f"SYNTH CORP {i}", form, date, acc)
+
+    rdd = sc.parallelize(range(n_parts), n_parts).flatMap(gen)
+    return spark.createDataFrame(rdd, schema=FRONTIER_SCHEMA)
+
+
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string, "
     "cik string, company string, form_type string, filing_date string, "

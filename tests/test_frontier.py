@@ -288,6 +288,41 @@ class TestCrawlEndToEnd:
         assert frontier.count() == n_req
 
 
+class TestFusedCrawl:
+    def test_fused_equals_two_stage(self, spark):
+        """fetch_extract_wave (single python pass) must produce the
+        same per-url item sets as fetch_wave -> extract_items_job."""
+        import hashlib
+
+        from edgar_crawler_spark.frontier.fetch import (
+            fetch_extract_wave,
+            fetch_wave,
+        )
+        from edgar_crawler_spark.frontier.priority import assign_waves
+        from edgar_crawler_spark.operators.extract_job import extract_items_job
+
+        waved = assign_waves(_frontier_df(spark, 80, seed=31), 4, wave_size=1000)
+        tf = lambda: SimulatedTransport(transient_pct=0)  # noqa: E731
+        fused = {
+            r.url: (r.n_items, r.items_digest)
+            for r in fetch_extract_wave(
+                waved, host_budget_per_sec=1e9, n_buckets=4, transport_factory=tf
+            ).collect()
+        }
+        pages = fetch_wave(
+            waved, host_budget_per_sec=1e9, n_buckets=4, transport_factory=tf
+        )
+        two_stage = {}
+        for r in extract_items_job(pages).collect():
+            items = sorted((k, v) for k, v in (r.items or {}).items() if v)
+            digest = hashlib.md5(
+                "\x00".join(f"{k}\x01{v}" for k, v in items).encode("utf-8")
+            ).hexdigest()
+            two_stage[r.url] = (len(items), digest)
+        assert fused == two_stage
+        assert sum(n for n, _ in fused.values()) > 0
+
+
 def _rerun_reference(spark, tmp_path, n):
     """Uninterrupted oracle crawl over the same frontier."""
     job = CrawlJob(

@@ -1,0 +1,109 @@
+"""Physical-plan audit: assert the plans are the plans we designed.
+
+For each audited query this checks the properties that matter at
+100 TB — filters reaching the scan, projections pruned, small dims
+broadcast, top-k compiling to TakeOrderedAndProject instead of a global
+sort, map-side pipelines staying shuffle-free — straight from
+`.explain("formatted")` output. Run as a script to see every plan and
+the audit verdicts; the pytest suite runs the same assertions
+(tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from edgar_crawler_spark.queries import QUERIES  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# (query, must_contain regexes, must_NOT_contain regexes)
+AUDITS: list[tuple[str, list[str], list[str]]] = [
+    # predicate + column pruning pushed into the parquet scan
+    ("type_filter", [r"PushedFilters: \[.*(In|IsNotNull)", r"BatchScan|Scan parquet"], []),
+    # anti-join against a small seen set broadcasts (no fact shuffle)
+    ("urlseen_antijoin", [r"BroadcastHashJoin .*LeftAnti|BroadcastNestedLoop.*LeftAnti"], [r"SortMergeJoin"]),
+    # dimension enrichment is broadcast, fact side never exchanges on the key
+    ("broadcast_enrich", [r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    # global top-k must be TakeOrderedAndProject, not a full sort
+    ("priority_topk", [r"TakeOrderedAndProject"], [r"\+- Sort .*global=true"]),
+    ("ann_cosine_topk", [r"TakeOrderedAndProject"], []),
+    # wide agg: map-side partial aggregation, shuffle only on group keys,
+    # and the date filter pushed to the scan
+    ("pricing_summary",
+     [r"partial_sum", r"hashpartitioning\(l_returnflag", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"],
+     []),
+    # dedup shuffles hashes, not text: partial agg before the exchange,
+    # exchange key is the md5 column, and text is NOT in the shuffle
+    ("dedup_exact",
+     [r"partial_min", r"hashpartitioning\(text_hash"],
+     [r"hashpartitioning\([^)]*text#"]),
+    # token stats are pure JVM expressions — no python eval anywhere
+    # (higher-order functions fall out of whole-stage codegen by design,
+    #  but they must never fall back to python)
+    ("token_stats", [r"Project"],
+     [r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"]),
+]
+
+
+def audit_one(name: str, plan: str, must: list[str], must_not: list[str]) -> list[str]:
+    errors = []
+    for pat in must:
+        if not re.search(pat, plan):
+            errors.append(f"{name}: expected /{pat}/ in plan")
+    for pat in must_not:
+        if re.search(pat, plan):
+            errors.append(f"{name}: must NOT contain /{pat}/")
+    return errors
+
+
+def run_audits(spark, verbose: bool = False) -> list[str]:
+    errors = []
+    for name, must, must_not in AUDITS:
+        df = QUERIES[name].fn(spark, SF)
+        plan = plan_of(df)
+        if verbose:
+            print(f"\n===== {name} =====\n{plan}")
+        errs = audit_one(name, plan, must, must_not)
+        errors.extend(errs)
+        print(f"{'ok  ' if not errs else 'FAIL'}  {name}" + ("" if not errs else f"  {errs}"))
+    # extraction job: pure map-side — no Exchange anywhere
+    from edgar_crawler_spark.operators.extract_job import extract_items_job
+    from edgar_crawler_spark.tables import load_table
+
+    pages_like = load_table(spark, SF, "documents").selectExpr(
+        "concat('u', doc_id) AS url",
+        "cast(text AS binary) AS html",
+        "'1' AS cik", "'c' AS company", "'8-K' AS form_type",
+        "'2020-01-01' AS filing_date", "'f' AS filename",
+    )
+    plan = plan_of(extract_items_job(pages_like))
+    errs = audit_one("extract_items_job(map-side)", plan, [r"MapInPandas"], [r"Exchange"])
+    errors.extend(errs)
+    print(("ok  " if not errs else "FAIL") + "  extract_items_job(map-side)")
+    return errors
+
+
+if __name__ == "__main__":
+    from edgar_crawler_spark.session import get_spark
+
+    spark = get_spark("explain-audit", cores=4, shuffle_partitions=4)
+    errs = run_audits(spark, verbose="-v" in sys.argv)
+    print(f"\n{len(AUDITS) + 1 - len(set(e.split(':')[0] for e in errs))}"
+          f"/{len(AUDITS) + 1} plan audits pass")
+    sys.exit(1 if errs else 0)
