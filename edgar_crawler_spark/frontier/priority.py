@@ -74,7 +74,7 @@ def reference_order(index_df: DataFrame, n_partitions: int | None = None) -> Dat
         offsets[pid] = acc
         acc += counts[pid]
     schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in ordered.schema.fields
+        f"`{f.name}` {f.dataType.simpleString()}" for f in ordered.schema.fields
     ) + ", visit_seq long"
 
     def number(batches):
