@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .canon import canonicalize_url
-from .fetch import SimulatedTransport, fetch_wave
+from .fetch import RobotsPolicy, SimulatedTransport, fetch_wave
 from .priority import assign_waves
 from .seen import build_sharded_bloom, filter_unseen
 from .state import SnapshotStore
@@ -64,6 +64,7 @@ class CrawlJob:
         bloom_shards: int = 16,
         bloom_fpp: float = 0.01,
         transport_factory: Callable[[], SimulatedTransport] | None = None,
+        robots: RobotsPolicy | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -73,6 +74,7 @@ class CrawlJob:
         self.bloom_shards = bloom_shards
         self.bloom_fpp = bloom_fpp
         self.transport_factory = transport_factory
+        self.robots = robots
 
     # -- state ---------------------------------------------------------
 
@@ -121,6 +123,7 @@ class CrawlJob:
             host_budget_per_sec=self.host_budget_per_sec,
             n_buckets=self.n_buckets,
             transport_factory=self.transport_factory,
+            robots=self.robots,
         ).cache()
 
         metrics = (

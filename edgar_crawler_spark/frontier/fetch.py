@@ -39,6 +39,29 @@ from .politeness import TokenBucket, per_bucket_rate
 
 EPOCH = datetime(2015, 1, 1, tzinfo=timezone.utc)
 
+
+class RobotsPolicy:
+    """robots.txt gate (stdlib urllib.robotparser — deterministic, no
+    network: the caller supplies the robots.txt BODY, fetched once per
+    host per crawl round and broadcast with the task closure).
+    URLs a disallow rule matches are emitted with status
+    'robots_denied' and never hit the transport."""
+
+    def __init__(self, robots_txt: str | None = None, user_agent: str = "*"):
+        self.user_agent = user_agent
+        self._parser = None
+        if robots_txt:
+            from urllib import robotparser  # noqa: PLC0415
+
+            p = robotparser.RobotFileParser()
+            p.parse(robots_txt.splitlines())
+            self._parser = p
+
+    def allows(self, url: str) -> bool:
+        if self._parser is None:
+            return True
+        return self._parser.can_fetch(self.user_agent, url)
+
 FETCH_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string, "
     "cik string, company string, form_type string, filing_date string, "
@@ -97,6 +120,7 @@ def fetch_extract_wave(
     n_buckets: int = 8,
     transport_factory: Callable[[], SimulatedTransport] | None = None,
     extraction_options=None,
+    robots: RobotsPolicy | None = None,
 ) -> DataFrame:
     """Fused fetch + extract: one applyInPandas stage that fetches a
     URL and runs ExtractItems on the body in the SAME python worker,
@@ -127,7 +151,8 @@ def fetch_extract_wave(
         out = []
         for row in pdf.itertuples(index=False):
             attempts, body, t = 0, None, 0.0
-            while attempts < MAX_RETRIES and body is None:
+            denied = robots is not None and not robots.allows(row.url)
+            while not denied and attempts < MAX_RETRIES and body is None:
                 attempts += 1
                 t = bucket.acquire()
                 body = transport.get(row.url, row.form_type, attempts)
@@ -159,7 +184,8 @@ def fetch_extract_wave(
                     "filing_date": row.filing_date, "accession": row.accession,
                     "host_bucket": int(row.host_bucket), "wave": int(row.wave),
                     "attempts": attempts,
-                    "status": "ok" if body is not None else "failed",
+                    "status": ("robots_denied" if denied
+                               else "ok" if body is not None else "failed"),
                     "sched_ts": float(t),
                     "fetched_bytes": len(body) if body is not None else 0,
                     "n_items": n_items, "items_digest": digest,
@@ -177,6 +203,7 @@ def fetch_wave(
     host_budget_per_sec: float = 10.0,
     n_buckets: int = 8,
     transport_factory: Callable[[], SimulatedTransport] | None = None,
+    robots: RobotsPolicy | None = None,
 ) -> DataFrame:
     """Fetch one wave. Input needs (url, cik, company, form_type,
     filing_date, accession, host_bucket, bucket_rank, wave); output is
@@ -194,14 +221,16 @@ def fetch_wave(
         out = []
         for row in pdf.itertuples(index=False):
             attempts, body, t = 0, None, 0.0
-            while attempts < MAX_RETRIES and body is None:
+            denied = robots is not None and not robots.allows(row.url)
+            while not denied and attempts < MAX_RETRIES and body is None:
                 attempts += 1
                 t = bucket.acquire()
                 body = transport.get(row.url, row.form_type, attempts)
                 if body is None and attempts < MAX_RETRIES:
                     # reference backoff schedule, charged to the clock
                     bucket.now += BACKOFF_FACTOR * (2 ** (attempts - 1))
-            status = "ok" if body is not None else "failed"
+            status = ("robots_denied" if denied
+                      else "ok" if body is not None else "failed")
             year = (row.filing_date or "0000")[:4]
             out.append(
                 {

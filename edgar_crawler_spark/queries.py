@@ -675,6 +675,104 @@ def q_filename_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "filename_parse",
+    oracle="""
+    SELECT filename,
+           regexp_extract(filename, '^([0-9]+)_', 1) AS cik,
+           regexp_extract(filename, '^[0-9]+_([A-Z0-9]+)_', 1) AS form_code,
+           CAST(regexp_extract(filename, '_([0-9]{4})_', 1) AS BIGINT)
+             AS filing_year,
+           regexp_extract(filename, '_([0-9]+-[0-9]+-[0-9]+)\\.', 1)
+             AS accession
+    FROM (
+      SELECT CAST(o_custkey AS VARCHAR) || '_' ||
+             regexp_replace(o_orderpriority, '[^A-Za-z0-9]', '', 'g') || '_' ||
+             strftime(o_orderdate, '%Y') || '_' ||
+             lpad(CAST(o_orderkey AS VARCHAR), 10, '0') || '-' ||
+             strftime(o_orderdate, '%y') || '-' ||
+             lpad(CAST(o_custkey % 1000000 AS VARCHAR), 6, '0') || '.htm'
+               AS filename
+      FROM orders)
+    """,
+    doc="Metadata rebuild from filenames (rebuild_metadata.py:38-78): "
+        "parse {CIK}_{TYPE}_{YEAR}_{accession}.{ext} back into ledger "
+        "columns with native regexp_extract — the filesystem-scan "
+        "recovery path, minus the filesystem (keyed rows, not paths).",
+)
+def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fname = F.concat_ws(
+        "_",
+        F.col("o_custkey").cast("string"),
+        F.regexp_replace("o_orderpriority", "[^A-Za-z0-9]", ""),
+        F.date_format("o_orderdate", "yyyy"),
+        F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+            F.lit("-"),
+            F.date_format("o_orderdate", "yy"),
+            F.lit("-"),
+            F.lpad((F.col("o_custkey") % 1000000).cast("string"), 6, "0"),
+        ),
+    )
+    df = _t(spark, sf_dir, "orders").select(
+        F.concat(fname, F.lit(".htm")).alias("filename")
+    )
+    return df.select(
+        "filename",
+        F.regexp_extract("filename", r"^([0-9]+)_", 1).alias("cik"),
+        F.regexp_extract("filename", r"^[0-9]+_([A-Z0-9]+)_", 1).alias("form_code"),
+        F.regexp_extract("filename", r"_([0-9]{4})_", 1)
+        .cast("long")
+        .alias("filing_year"),
+        F.regexp_extract("filename", r"_([0-9]+-[0-9]+-[0-9]+)\.", 1).alias(
+            "accession"
+        ),
+    )
+
+
+@query(
+    "seed_list_build",
+    oracle="""
+    SELECT c.c_custkey AS cik,
+           n.n_name AS nation,
+           r.r_name AS region,
+           strftime(MIN(o.o_orderdate), '%Y-%m-%d') AS first_filing,
+           strftime(MAX(o.o_orderdate), '%Y-%m-%d') AS last_filing,
+           COUNT(*) AS n_filings
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 0 AND o.o_orderstatus <> 'F'
+    GROUP BY 1, 2, 3
+    """,
+    doc="WRDS seed-list build (wrds_downloader.py:71-100): 3-way "
+        "dimension join + filters + grouped MIN/MAX/COUNT — the "
+        "company⋈security⋈funda shape; dims broadcast, the fact side "
+        "aggregates with map-side partials.",
+)
+def q_seed_list_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("c_custkey").alias("cik"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+        .agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_filing"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_filing"),
+            F.count(F.lit(1)).alias("n_filings"),
+        )
+    )
+
+
+@query(
     "macrodiscl_score",
     oracle="""
     SELECT doc_id,

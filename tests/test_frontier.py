@@ -331,3 +331,33 @@ def _rerun_reference(spark, tmp_path, n):
     )
     job.run(_frontier_df(spark, n))
     return job.pages().select("url", "html").collect()
+
+
+class TestRobots:
+    def test_robots_denied_urls_never_fetch(self, spark, tmp_path):
+        from edgar_crawler_spark.frontier.fetch import RobotsPolicy
+
+        robots_txt = "User-agent: *\nDisallow: /Archives/edgar/data/1\n"
+        policy = RobotsPolicy(robots_txt)
+        frontier = _frontier_df(spark, 120, seed=41)
+        denied_urls = {
+            r.url for r in frontier.collect()
+            if not policy.allows(r.url)
+        }
+        assert 0 < len(denied_urls) < 120
+
+        job = CrawlJob(
+            spark, SnapshotStore(str(tmp_path / "sr")), n_buckets=4, wave_size=200,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+            robots=policy,
+        )
+        job.run(frontier)
+        pages = job.pages()
+        denied_rows = pages.filter(F.col("status") == "robots_denied")
+        assert {r.url for r in denied_rows.collect()} == denied_urls
+        # denied rows consumed no attempts and carry no body
+        assert denied_rows.filter(
+            (F.col("attempts") != 0) | F.col("html").isNotNull()
+        ).count() == 0
+        # everything else fetched normally
+        assert pages.filter(F.col("status") == "ok").count() == 120 - len(denied_urls)
