@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .bloom import BloomFilter, ShardedBloom, shard_of
+from .cuckoo import CuckooFilter, ShardedCuckoo
 
 
 def build_sharded_bloom(
@@ -65,10 +66,56 @@ def build_sharded_bloom(
     return ShardedBloom(n_shards=ns, shards=shards)
 
 
+def build_sharded_cuckoo(
+    seen: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 16,
+    expected_per_shard: int | None = None,
+) -> ShardedCuckoo:
+    """Cuckoo variant of `build_sharded_bloom` (deletable — see
+    cuckoo.py for when to prefer it). Same distributed shape: partial
+    per-shard filters fold map-side, then merge by fingerprint
+    relocation (partial-key hashing makes that possible without the
+    original keys)."""
+    if expected_per_shard is None:
+        n = seen.count()
+        expected_per_shard = max(64, (n + n_shards - 1) // n_shards)
+    exp, ns = expected_per_shard, n_shards
+
+    def fold(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local: dict[int, CuckooFilter] = {}
+        for pdf in pdfs:
+            for key in pdf[url_col].astype(str):
+                s = shard_of(key, ns)
+                cf = local.get(s)
+                if cf is None:
+                    cf = local[s] = CuckooFilter.empty(exp)
+                if not cf.add(key):
+                    raise OverflowError("cuckoo shard overflow; raise capacity")
+        if local:
+            yield pd.DataFrame(
+                {
+                    "shard": list(local.keys()),
+                    "table": [cf.to_bytes() for cf in local.values()],
+                }
+            )
+
+    partial = seen.select(url_col).mapInPandas(fold, "shard int, table binary")
+    rows = partial.collect()
+    shards: dict[int, CuckooFilter] = {}
+    for r in rows:
+        cf = CuckooFilter.from_bytes(bytes(r["table"]))
+        if r["shard"] in shards:
+            shards[r["shard"]].merge(cf)
+        else:
+            shards[r["shard"]] = cf
+    return ShardedCuckoo(n_shards=ns, shards=shards)
+
+
 def filter_unseen(
     frontier: DataFrame,
     seen: DataFrame,
-    bloom: ShardedBloom | None,
+    bloom: ShardedBloom | ShardedCuckoo | None,
     url_col: str = "url",
 ) -> DataFrame:
     """Frontier rows whose canonical URL is NOT in `seen` — exact.
@@ -83,12 +130,15 @@ def filter_unseen(
         return frontier.join(seen.select(url_col), on=url_col, how="left_anti")
 
     spark = frontier.sparkSession
-    b = spark.sparkContext.broadcast(bloom.to_rows())
+    kind = "cuckoo" if isinstance(bloom, ShardedCuckoo) else "bloom"
+    b = spark.sparkContext.broadcast((kind, bloom.to_rows()))
     ns = bloom.n_shards
 
     @F.pandas_udf("boolean")
     def maybe_seen(urls: pd.Series) -> pd.Series:
-        sb = ShardedBloom.from_rows(ns, b.value)
+        k, rows = b.value
+        cls = ShardedCuckoo if k == "cuckoo" else ShardedBloom
+        sb = cls.from_rows(ns, rows)
         return pd.Series(sb.might_contain_many(urls.astype(str).tolist()))
 
     flagged = frontier.withColumn("_maybe_seen", maybe_seen(F.col(url_col)))
