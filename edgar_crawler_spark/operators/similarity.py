@@ -102,6 +102,58 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame, query_vec_id: int, k: int = 20, *,
+    n_cells: int = 16, n_probe: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> probe the
+    `n_probe` cells nearest the query -> exact cosine inside them.
+
+    Sandbox shape: the quantizer is fit on the table itself (it is
+    small). 100 TB shape: fit centroids on a ~1M-row sample once,
+    compute `cell` at INGEST as a stored/partition column, and the
+    probe becomes partition pruning — the scan touches n_probe/n_cells
+    of the data and nothing else. Deterministic for a fixed seed
+    (KMeans init is seeded; assignment is argmin distance).
+
+    No DuckDB oracle (k-means is not SQL-expressible) — the driver
+    records the weaker rows-only check; exactness-within-probes and
+    recall are pytest-verified instead (tests/test_dedup_similarity.py).
+    """
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+
+    feats = emb.select(
+        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).withColumnRenamed("prediction", "cell")
+
+    centers = model.clusterCenters()
+    qrow = assigned.filter(F.col(id_col) == query_vec_id).head(1)
+    if not qrow:
+        raise ValueError(f"query vec {query_vec_id} not found")
+    import numpy as np  # noqa: PLC0415
+
+    qv = np.array(qrow[0][vec_col], dtype=float)
+    dists = [float(np.linalg.norm(qv - np.asarray(c))) for c in centers]
+    probe_cells = [int(i) for i in np.argsort(dists)[:n_probe]]
+
+    qdf = assigned.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    return (
+        assigned.filter(
+            F.col("cell").isin(probe_cells) & (F.col(id_col) != query_vec_id)
+        )
+        .crossJoin(F.broadcast(qdf))
+        .select(id_col, cosine_col(F.col(vec_col), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def oracle_lsh_topk_sql(
     query_vec_id: int = 0, k: int = 20, *, nbits: int = 8, dim: int = 64,
     max_hamming: int = 1,

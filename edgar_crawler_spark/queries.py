@@ -1249,6 +1249,19 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivf_topk",
+    oracle=None,  # k-means is not SQL-expressible; rows-only check +
+    # pytest recall/exactness (operators/similarity.py:ivf_topk doc)
+    doc="IVF ANN: seeded k-means coarse quantizer, probe the 4 nearest "
+        "of 16 cells, exact cosine within. At scale `cell` is computed "
+        "at ingest and the probe is partition pruning. "
+        "operators/similarity.py:ivf_topk.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings table)
 # ---------------------------------------------------------------------------

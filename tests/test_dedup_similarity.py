@@ -147,3 +147,21 @@ class TestLshAnn:
         # probing recalls some true top-20 neighbors
         top20 = set(list(brute)[:20])
         assert len({r.vec_id for r in lsh} & top20) > 0
+
+    def test_ivf_topk_exact_within_probes_and_recall(self, spark):
+        emb = load_table(spark, SF, "embeddings").cache()
+        brute = {r.vec_id: r.cos_sim for r in S.cosine_topk(emb, 0, k=500).collect()}
+        ivf = S.ivf_topk(emb, 0, k=20, n_cells=16, n_probe=4)
+        rows = ivf.collect()
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True) and len(rows) == 20
+        for r in rows:
+            assert math.isclose(brute[r.vec_id], r.cos_sim, abs_tol=1e-9)
+        # probing 4/16 cells nearest the query should recall a decent
+        # share of the true top-20
+        top20 = set(list(brute)[:20])
+        recall = len({r.vec_id for r in rows} & top20) / 20
+        assert recall >= 0.3
+        # deterministic across invocations (seeded quantizer)
+        again = [r.vec_id for r in S.ivf_topk(emb, 0, k=20).collect()]
+        assert again == [r.vec_id for r in rows]
