@@ -410,6 +410,39 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "rollup_type_year",
+    oracle="""
+    SELECT COALESCE(form_type, 'ALL') AS form_type,
+           COALESCE(CAST(filing_year AS VARCHAR), 'ALL') AS filing_year,
+           COUNT(*) AS n_filings
+    FROM (SELECT o_orderpriority AS form_type,
+                 CAST(year(o_orderdate) AS BIGINT) AS filing_year
+          FROM orders)
+    GROUP BY ROLLUP (form_type, filing_year)
+    """,
+    doc="ROLLUP inventory (type × year with subtotals + grand total): "
+        "beyond the reference's flat value_counts — one pass, "
+        "grouping-sets expansion handled by the engine.",
+)
+def q_rollup_type_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("form_type"),
+        F.year("o_orderdate").cast("long").alias("filing_year"),
+    )
+    return (
+        base.rollup("form_type", "filing_year")
+        .agg(F.count(F.lit(1)).alias("n_filings"))
+        .select(
+            F.coalesce("form_type", F.lit("ALL")).alias("form_type"),
+            F.coalesce(F.col("filing_year").cast("string"), F.lit("ALL")).alias(
+                "filing_year"
+            ),
+            "n_filings",
+        )
+    )
+
+
+@query(
     "recent_per_firm",
     oracle="""
     SELECT cik, o_orderkey, order_date FROM (

@@ -361,3 +361,20 @@ class TestRobots:
         ).count() == 0
         # everything else fetched normally
         assert pages.filter(F.col("status") == "ok").count() == 120 - len(denied_urls)
+
+
+class TestSkewBalance:
+    def test_single_host_salting_is_balanced(self, spark):
+        """The whole frontier is one host (sec.gov) — the crc32 salt
+        must spread it near-uniformly across buckets or one fetch task
+        inherits the skew."""
+        df = assign_waves(_frontier_df(spark, 2000, seed=51), n_buckets=16,
+                          wave_size=10**9)
+        counts = {
+            r.host_bucket: r["count"]
+            for r in df.groupBy("host_bucket").count().collect()
+        }
+        assert len(counts) == 16
+        mean = 2000 / 16
+        for b, c in counts.items():
+            assert 0.6 * mean <= c <= 1.4 * mean, (b, c)
