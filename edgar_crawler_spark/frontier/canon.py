@@ -39,7 +39,13 @@ def canonicalize_url(col: Column | str) -> Column:
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    # default-port strip is scheme-aware: http://h:443/x and
+    # http://h/x fetch DIFFERENT bytes and must not collide.
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
     # normalize bare 18-digit accessions in the path to dashed form
     rest = F.regexp_replace(
         rest, r"(\d{10})(\d{2})(\d{6})(?=[./]|$)", r"$1-$2-$3"
@@ -57,7 +63,10 @@ def canonicalize_url_py(url: str) -> str:
     if not m:
         return u
     scheme, host, rest = m.group(1).lower(), m.group(2).lower(), m.group(3)
-    host = re.sub(r":(80|443)$", "", host)
+    if scheme == "http":
+        host = re.sub(r":80$", "", host)
+    elif scheme == "https":
+        host = re.sub(r":443$", "", host)
     rest = re.sub(r"(\d{10})(\d{2})(\d{6})(?=[./]|$)", r"\1-\2-\3", rest)
     if rest == "":
         rest = "/"

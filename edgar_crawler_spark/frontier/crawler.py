@@ -115,6 +115,11 @@ class CrawlJob:
             seen, n_shards=self.bloom_shards, fpp=self.bloom_fpp
         )
         unseen = filter_unseen(frontier, seen, bloom)
+        # A merged/replayed frontier can consist ENTIRELY of already-seen
+        # urls; without this check run() would loop forever committing
+        # empty waves (frontier non-empty but no fetchable work).
+        if not unseen.head(1):
+            return None
         waved = assign_waves(unseen, self.n_buckets, self.wave_size)
         front = waved.filter(F.col("wave") == 0)
 
@@ -150,7 +155,10 @@ class CrawlJob:
 
         done_urls = fetched.select("url")
         new_seen = seen.unionByName(done_urls).dropDuplicates(["url"])
-        new_frontier = frontier.join(done_urls, on="url", how="left_anti")
+        # next frontier = this round's UNSEEN minus this wave's fetches:
+        # already-seen rows drain out of the frontier here instead of
+        # being carried (and re-bloom-filtered) forever.
+        new_frontier = unseen.join(done_urls, on="url", how="left_anti")
 
         n_ok = fetched.filter(F.col("status") == "ok").count()
         n_failed = fetched.filter(F.col("status") != "ok").count()
@@ -230,10 +238,15 @@ class CrawlJob:
         if v is None:
             return 0
         pages = self.pages()
+        # pages() is the all-versions union: a url that failed once and
+        # succeeded after an earlier requeue has BOTH rows. Only urls
+        # with no 'ok' row anywhere may be requeued (no-double-fetch).
+        ever_ok = pages.filter(F.col("status") == "ok").select("url")
         failed = (
             pages.filter(F.col("status") != "ok")
             .select(*FRONTIER_COLS)
             .dropDuplicates(["url"])
+            .join(ever_ok, on="url", how="left_anti")
         )
         n = failed.count()
         if n == 0:

@@ -70,7 +70,9 @@ FETCH_SCHEMA = (
     "sched_ts double, fetched_bytes long"
 )
 
-# reference retry parameters (download_filings.py:811-854)
+# reference retry parameters (download_filings.py:811-854):
+# urllib3 Retry(total=5) = 5 retries AFTER the initial attempt,
+# so MAX_RETRIES+1 = 6 total attempts per url.
 MAX_RETRIES = 5
 BACKOFF_FACTOR = 0.2
 
@@ -93,7 +95,7 @@ class SimulatedTransport:
     def planned_failures(self, url: str) -> int:
         h = _stable_int(url, "fail")
         if self.permanent_pct and h % 1000 < self.permanent_pct * 10:
-            return MAX_RETRIES + 1  # never succeeds
+            return MAX_RETRIES + 2  # > max attempts; never succeeds
         if h % 100 < self.transient_pct:
             return 1 + h // 100 % min(3, MAX_RETRIES)
         return 0
@@ -152,11 +154,11 @@ def fetch_extract_wave(
         for row in pdf.itertuples(index=False):
             attempts, body, t = 0, None, 0.0
             denied = robots is not None and not robots.allows(row.url)
-            while not denied and attempts < MAX_RETRIES and body is None:
+            while not denied and attempts <= MAX_RETRIES and body is None:
                 attempts += 1
                 t = bucket.acquire()
                 body = transport.get(row.url, row.form_type, attempts)
-                if body is None and attempts < MAX_RETRIES:
+                if body is None and attempts <= MAX_RETRIES:
                     bucket.now += BACKOFF_FACTOR * (2 ** (attempts - 1))
             n_items, digest = 0, None
             if body is not None:
@@ -222,11 +224,11 @@ def fetch_wave(
         for row in pdf.itertuples(index=False):
             attempts, body, t = 0, None, 0.0
             denied = robots is not None and not robots.allows(row.url)
-            while not denied and attempts < MAX_RETRIES and body is None:
+            while not denied and attempts <= MAX_RETRIES and body is None:
                 attempts += 1
                 t = bucket.acquire()
                 body = transport.get(row.url, row.form_type, attempts)
-                if body is None and attempts < MAX_RETRIES:
+                if body is None and attempts <= MAX_RETRIES:
                     # reference backoff schedule, charged to the clock
                     bucket.now += BACKOFF_FACTOR * (2 ** (attempts - 1))
             status = ("robots_denied" if denied

@@ -109,6 +109,7 @@ def stream_frontier_foreachbatch(
     are harmless: the wave pipeline starts with the URL-seen filter,
     so re-delivered URLs dedupe against the committed seen set
     (idempotent effects = streaming exactly-once)."""
+    from ..frontier.canon import canonicalize_url  # noqa: PLC0415
     from ..frontier.crawler import FRONTIER_COLS  # noqa: PLC0415
 
     urls = (
@@ -126,11 +127,19 @@ def stream_frontier_foreachbatch(
         if crawl_job.store.latest() is None:
             crawl_job.seed(batch_df.select(*FRONTIER_COLS))
         else:
-            # merge the new URLs into the committed frontier
+            # merge the new URLs into the committed frontier — with the
+            # SAME canonical form seed() applies, or a non-canonical
+            # variant of a fetched url (/ix?doc=/ ...) would bypass the
+            # url-seen filter and double-fetch under a different key.
             frontier = crawl_job.store.read(crawl_job.spark, "frontier")
             seen = crawl_job.store.read(crawl_job.spark, "seen")
+            canon_batch = (
+                batch_df.withColumn("url", canonicalize_url("url"))
+                .dropDuplicates(["url"])
+                .select(*FRONTIER_COLS)
+            )
             merged = (
-                frontier.unionByName(batch_df.select(*FRONTIER_COLS))
+                frontier.unionByName(canon_batch)
                 .dropDuplicates(["url"])
             )
             crawl_job.store.commit(

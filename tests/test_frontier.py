@@ -45,6 +45,9 @@ CANON_CASES = [
     ("HTTPS://WWW.SEC.GOV:443/Archives/x.htm#item7",
      "https://www.sec.gov/Archives/x.htm"),
     ("http://www.sec.gov:80/", "http://www.sec.gov/"),
+    # NON-default ports for the scheme are kept: these fetch different bytes
+    ("http://www.sec.gov:443/x.htm", "http://www.sec.gov:443/x.htm"),
+    ("https://www.sec.gov:80/x.htm", "https://www.sec.gov:80/x.htm"),
     # already canonical: unchanged
     ("https://www.sec.gov/Archives/edgar/data/1/0000000001-20-000001-index.html",
      "https://www.sec.gov/Archives/edgar/data/1/0000000001-20-000001-index.html"),
@@ -280,12 +283,71 @@ class TestCrawlEndToEnd:
         assert res.n_failed > 0
         pages = job.pages()
         failed = pages.filter(F.col("status") != "ok")
-        assert failed.filter(F.col("attempts") != MAX_RETRIES).count() == 0
+        assert failed.filter(F.col("attempts") != MAX_RETRIES + 1).count() == 0
         n_req = job.requeue_failed()
         assert n_req == failed.select("url").distinct().count()
         # after requeue the frontier holds exactly the failed urls
         frontier = job.store.read(spark, "frontier")
         assert frontier.count() == n_req
+
+    def test_requeue_skips_recovered_urls(self, spark, tmp_path):
+        """A url that failed, was requeued, and then SUCCEEDED must not
+        be requeued again by a later requeue_failed call (the pages
+        union holds both its failed and ok rows)."""
+        root = str(tmp_path / "s4")
+        job = CrawlJob(
+            spark, SnapshotStore(root), n_buckets=2, wave_size=40,
+            transport_factory=lambda: SimulatedTransport(
+                transient_pct=0, permanent_pct=10
+            ),
+        )
+        job.run(_frontier_df(spark, 80))
+        n_req = job.requeue_failed()
+        assert n_req > 0
+        # "network recovers": same store, transport that never fails
+        job2 = CrawlJob(
+            spark, SnapshotStore(root), n_buckets=2, wave_size=40,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+        )
+        job2.run(_frontier_df(spark, 80))
+        assert job2.requeue_failed() == 0  # recovered urls stay fetched
+        pages = job2.pages()
+        ok = pages.filter(F.col("status") == "ok")
+        assert ok.select("url").distinct().count() == 80
+
+    def test_seen_frontier_drains_and_terminates(self, spark, tmp_path):
+        """Replayed/overlapping discovery: a frontier whose rows are
+        ALL already in seen must terminate run() instead of looping
+        forever committing empty waves (ADVICE r01, high)."""
+        root = str(tmp_path / "s5")
+        job = CrawlJob(
+            spark, SnapshotStore(root), n_buckets=2, wave_size=50,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+        )
+        job.run(_frontier_df(spark, 40))
+        assert job.pages().count() == 40
+        # replay: merge the SAME 40 urls plus 20 new ones into the frontier
+        from edgar_crawler_spark.frontier.canon import canonicalize_url
+        merged = (
+            job.store.read(spark, "frontier")
+            .unionByName(
+                _frontier_df(spark, 60)  # superset (same seed)
+                .withColumn("url", canonicalize_url("url"))
+            )
+            .dropDuplicates(["url"])
+        )
+        seen = job.store.read(spark, "seen")
+        job.store.commit(
+            {"frontier": merged, "seen": seen}, summary={"stage": "replay"}
+        )
+        res = job.run(max_waves=5)  # bounded: must NOT hit the bound
+        assert res.waves_run < 5
+        pages = job.pages()
+        assert pages.count() == 60  # only the 20 new urls fetched
+        assert pages.select("url").distinct().count() == 60
+        # pure-replay case: run again with zero new work -> 0 waves
+        res2 = job.run(max_waves=5)
+        assert res2.waves_run == 0 and res2.n_fetched == 0
 
 
 class TestFusedCrawl:

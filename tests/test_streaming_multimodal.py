@@ -98,14 +98,29 @@ class TestStreamFrontier:
         f1 = _frontier_df(spark, 60, seed=21)
         f1.write.mode("append").parquet(urls_dir)
         q = stream_frontier_foreachbatch(spark, urls_dir, ckpt, job)
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream query did not terminate"
         assert job.pages().count() == 60
 
         # second discovery batch overlaps the first: only new urls fetch
         f2 = _frontier_df(spark, 90, seed=21)  # superset (same seed)
         f2.write.mode("append").parquet(urls_dir)
         q = stream_frontier_foreachbatch(spark, urls_dir, ckpt, job)
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream query did not terminate"
+        pages = job.pages()
+        assert pages.count() == 90
+        assert pages.select("url").distinct().count() == 90
+
+        # third batch: NON-canonical (/ix?doc=/) variants of already
+        # fetched urls — the merge path must canonicalize before the
+        # seen filter, so nothing is fetched twice (ADVICE r01 medium).
+        from pyspark.sql import functions as F
+        f3 = f1.withColumn(
+            "url",
+            F.regexp_replace("url", r"sec\.gov/", "sec.gov/ix?doc=/"),
+        )
+        f3.write.mode("append").parquet(urls_dir)
+        q = stream_frontier_foreachbatch(spark, urls_dir, ckpt, job)
+        assert q.awaitTermination(180), "stream query did not terminate"
         pages = job.pages()
         assert pages.count() == 90
         assert pages.select("url").distinct().count() == 90
