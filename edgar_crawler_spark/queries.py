@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from . import macrodiscl as MD
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import similarity as S
@@ -805,42 +806,123 @@ def q_seed_list_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The synthetic documents vocabulary contains no macro terms, so the
+# query deterministically APPENDS dictionary terms per doc_id (same
+# expression both engines): term = ALL_TERMS[doc_id % 71], repeated
+# doc_id % 4 times, with the space swapped for ", " on every third doc
+# to exercise the punctuation->space normalization. Counts then vary
+# per document and every term + all three matching modes are hit.
+_MD_INJECT_SPARK = None  # built lazily in q_macrodiscl_* below
+
+
+def _md_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = F.array(*[F.lit(t) for t in MD.ALL_TERMS])
+    term = F.element_at(
+        terms, (F.col("doc_id") % len(MD.ALL_TERMS) + 1).cast("int")
+    )
+    term = F.when(
+        F.col("doc_id") % 3 == 0, F.replace(term, F.lit(" "), F.lit(", "))
+    ).otherwise(term)
+    reps = (F.col("doc_id") % 4).cast("int")
+    aug = F.concat(F.col("text"), F.repeat(F.concat(F.lit(" "), term), reps))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", aug.alias("aug_text")
+    )
+
+
+def _md_oracle_base() -> str:
+    terms_sql = ", ".join("'" + t + "'" for t in MD.ALL_TERMS)
+    n = len(MD.ALL_TERMS)
+    p = MD.oracle_processed_sql("aug_text")
+    return f"""
+      WITH aug AS (
+        SELECT doc_id,
+               text || repeat(' ' ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN replace([{terms_sql}][CAST(doc_id % {n} AS INT) + 1], ' ', ', ')
+                      ELSE [{terms_sql}][CAST(doc_id % {n} AS INT) + 1] END,
+                 CAST(doc_id % 4 AS INT)) AS aug_text
+        FROM documents),
+      counted AS (
+        SELECT doc_id,
+               CAST({MD.oracle_exact_sql('p')} AS BIGINT) AS n_exact,
+               CAST({MD.oracle_substr_sql('p')} AS BIGINT) AS n_substr,
+               CAST({MD.oracle_bigram_sql('p')} AS BIGINT) AS n_bigram,
+               CAST(CASE WHEN p = '' THEN 0
+                    ELSE len(string_split(p, ' ')) END AS BIGINT) AS n_tokens
+        FROM (SELECT doc_id, {p} AS p FROM aug))
+      SELECT doc_id, n_exact, n_substr, n_bigram,
+             n_exact + n_substr + n_bigram AS n_macro,
+             n_tokens,
+             CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE ROUND((n_exact + n_substr + n_bigram) * 1000.0
+                             / n_tokens, 4) END AS score
+      FROM counted
+    """
+
+
+def _md_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = MD.processed_col(F.col("aug_text"))
+    base = _md_augmented(spark, sf_dir).select("doc_id", p.alias("p"))
+    counted = base.select(
+        "doc_id",
+        MD.exact_unigram_count_col(F.col("p")).alias("n_exact"),
+        MD.substring_count_col(F.col("p")).alias("n_substr"),
+        MD.bigram_count_col(F.col("p")).alias("n_bigram"),
+        MD.token_count_col(F.col("p")).alias("n_tokens"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_exact",
+        "n_substr",
+        "n_bigram",
+        (F.col("n_exact") + F.col("n_substr") + F.col("n_bigram")).alias(
+            "n_macro"
+        ),
+        "n_tokens",
+        MD.score_col(
+            F.col("n_exact") + F.col("n_substr") + F.col("n_bigram"),
+            F.col("n_tokens"),
+        ).alias("score"),
+    )
+
+
 @query(
     "macrodiscl_score",
-    oracle="""
-    SELECT doc_id,
-           CAST(n_macro AS BIGINT) AS n_macro,
-           CAST(n_tokens AS BIGINT) AS n_tokens,
-           ROUND(n_macro * 1000.0 / GREATEST(n_tokens, 1), 3) AS score
-    FROM (
-      SELECT doc_id,
-             len(regexp_extract_all(lower(text),
-                 '\\b(economy|economic|inflation|unemployment|gdp|recession|interest rates?)\\b'))
-               AS n_macro,
-             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                             t -> t <> '')) AS n_tokens
-      FROM documents)
-    """,
-    doc="MacroDiscl-style dictionary scoring "
-        "(calculate_macro_discl.py:175-273): word-boundary dictionary "
-        "hits per 1000 tokens, as one native regexp alternation (the "
-        "broadcast-dictionary pattern compiled into the expression).",
+    oracle=_md_oracle_base(),
+    doc="MacroDiscl full-dictionary scoring "
+        "(calculate_macro_discl.py:64-95,135-213,264): the complete "
+        "13 exact-boundary unigrams + 4 substring unigrams + 54 bigrams "
+        "with the reference's three matching modes, per-term "
+        "non-overlapping counts, and the macro/words*1000 score — all "
+        "native regexp expressions (see macrodiscl.py). Real-text "
+        "verification against golden 8-Ks lives in "
+        "tests/test_macrodiscl.py.",
 )
 def q_macrodiscl_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dict_re = r"\b(economy|economic|inflation|unemployment|gdp|recession|interest rates?)\b"
-    base = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.regexp_count(F.lower(F.col("text")), F.lit(dict_re)).alias("n_macro"),
-        F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""))
-        .alias("n_tokens"),
-    )
-    return base.select(
-        "doc_id",
-        F.col("n_macro").cast("long").alias("n_macro"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(
-            F.col("n_macro") * 1000.0 / F.greatest(F.col("n_tokens"), F.lit(1)), 3
-        ).alias("score"),
+    return _md_scored(spark, sf_dir)
+
+
+@query(
+    "macrodiscl_summary",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 4) AS avg_score,
+           ROUND(MIN(score), 4) AS min_score,
+           ROUND(MAX(score), 4) AS max_score
+    FROM ({_md_oracle_base()}) WHERE n_tokens > 0
+    """,
+    doc="MacroDiscl corpus summary (calculate_macro_discl.py:373-381): "
+        "avg/min/max of per-document scores over successfully processed "
+        "(non-empty) documents — a map-side-partial global aggregate.",
+)
+def q_macrodiscl_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _md_scored(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+        F.round(F.min("score"), 4).alias("min_score"),
+        F.round(F.max("score"), 4).alias("max_score"),
     )
 
 
@@ -856,16 +938,22 @@ def q_macrodiscl_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sort(list(DISTINCT CAST(year(o_orderdate) AS BIGINT)))
                AS years_present
       FROM orders GROUP BY 1)
-    SELECT p.cik, p.years_present,
-           list_filter(generate_series(s.y0, s.y1),
-                       y -> NOT list_contains(p.years_present, y))
-             AS years_missing
+    SELECT p.cik,
+           COALESCE(array_to_string(p.years_present, ','), '')
+             AS years_present,
+           COALESCE(array_to_string(
+             list_filter(generate_series(s.y0, s.y1),
+                         y -> NOT list_contains(p.years_present, y)),
+             ','), '') AS years_missing
     FROM per p CROSS JOIN span s
     """,
     doc="Missing-years per firm as ARRAYS (download_manager.py:396-421): "
         "collect_set of present years vs the global expected sequence, "
         "array_except for the gap list — the collect_set/array_except "
-        "pattern from SURVEY.md §2.4/§2.7.",
+        "pattern from SURVEY.md §2.4/§2.7. The arrays are projected to "
+        "sorted comma-joined strings at the END so the driver's pandas "
+        "canonicalizer (sort_values over all columns) can hash the "
+        "result — list cells are unhashable there (VERDICT r01 #1).",
 )
 def q_missing_years_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -880,9 +968,12 @@ def q_missing_years_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_firm.crossJoin(F.broadcast(span)).select(
         "cik",
-        "years_present",
-        F.array_except(
-            F.sequence(F.col("y0"), F.col("y1")), F.col("years_present")
+        F.array_join("years_present", ",").alias("years_present"),
+        F.array_join(
+            F.array_except(
+                F.sequence(F.col("y0"), F.col("y1")), F.col("years_present")
+            ),
+            ",",
         ).alias("years_missing"),
     )
 
