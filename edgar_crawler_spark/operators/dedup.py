@@ -97,24 +97,37 @@ def jaccard_col(a: Column, b: Column, nd: int = 4) -> Column:
     )
 
 
+def shingles_col(text: Column | str, ngram: int = 1) -> Column:
+    """Distinct shingle set: distinct tokens (ngram=1) or distinct word
+    n-grams (ngram>=2) — the unit both MinHash and exact Jaccard see."""
+    if ngram < 2:
+        return tokens_col(text, distinct=True)
+    return F.array_distinct(ngrams_col(tokens_col(text), ngram))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
     k: int = 8,
     bands: int = 4,
     jaccard_threshold: float = 0.8,
+    ngram: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline.
 
     Returns (id_a, id_b, jaccard) for candidate pairs sharing ≥1 LSH
-    band bucket whose EXACT token-set Jaccard ≥ threshold. With k=8,
+    band bucket whose EXACT shingle-set Jaccard ≥ threshold. With k=8,
     bands=4 (r=2): P(candidate | j) = 1-(1-j²)⁴ ≈ 0.999 at j=0.9.
+    `ngram` picks the shingle unit (1 = tokens, 2 = word bigrams, ...);
+    the candidate join key is always the (band, bkey) bucket — a
+    high-cardinality key that survives 100× data, unlike blocking on a
+    metadata column like `source`.
     """
     r = k // bands
     toks = docs.select(
-        F.col(id_col).alias("_id"), tokens_col(text_col, distinct=True).alias("s")
+        F.col(id_col).alias("_id"), shingles_col(text_col, ngram).alias("s")
     ).filter(F.size("s") > 0)
     sig = toks.select("_id", minhash_signature_col(F.col("s"), k).alias("mh"))
     bands_df = sig.select(
@@ -168,7 +181,8 @@ def simhash16(
 
 
 def oracle_minhash_lsh_pairs_sql(
-    k: int = 8, bands: int = 4, jaccard_threshold: float = 0.8
+    k: int = 8, bands: int = 4, jaccard_threshold: float = 0.8,
+    ngram: int = 1,
 ) -> str:
     """DuckDB oracle equivalent of `minhash_lsh_pairs` (same hash
     family, so results match exactly)."""
@@ -183,14 +197,28 @@ def oracle_minhash_lsh_pairs_sql(
         )
         for b in range(bands)
     )
+    raw = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "x -> x <> '')"
+    )
+    if ngram < 2:
+        toks_cte = (
+            f"SELECT doc_id AS _id, list_distinct({raw}) AS s FROM documents"
+        )
+    else:
+        # DuckDB generate_series(1, 0) is empty (no Spark descending
+        # quirk), so short docs fall out naturally.
+        gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(ngram))
+        toks_cte = (
+            f"SELECT doc_id AS _id, list_distinct([{gram} "
+            f"for i in generate_series(1, len(w) - {ngram - 1})]) AS s "
+            f"FROM (SELECT doc_id, {raw} AS w FROM documents)"
+        )
     return f"""
-    WITH toks AS (
-      SELECT doc_id AS _id,
-             list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                       x -> x <> '')) AS s
-      FROM documents
-      WHERE len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                            x -> x <> '')) > 0),
+    WITH toks0 AS (
+      {toks_cte}),
+    toks AS (
+      SELECT _id, s FROM toks0 WHERE len(s) > 0),
     sig AS (
       SELECT _id, [{mh}] AS mh FROM toks),
     bands AS (

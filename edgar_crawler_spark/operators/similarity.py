@@ -154,6 +154,102 @@ def ivf_topk(
     )
 
 
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.35,
+    nbits: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs blocked on the sign-LSH bucket — the
+    scale-safe replacement for blocking on a low-cardinality metadata
+    column (VERDICT r01 #3): candidates are pairs within Hamming ≤ 1
+    of each other's bucket, verified by exact cosine ≥ threshold.
+
+    Shape: the Hamming-1 probe is expressed as an EQUI-join — side A
+    explodes each vector to its own bucket plus the nbits single-bit
+    flips (factor nbits+1, ids only, no payload), and joins
+    `probe == b.bucket`. No bit_count(xor) theta-join (that would be a
+    nested-loop), no metadata block key. At 10^10 vectors `bucket` is
+    a stored partition column, nbits grows with log2(N) to keep
+    buckets O(N/2^nbits) small, and recall is raised by unioning a few
+    independent hash tables, not by widening buckets.
+    """
+    with_bucket = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket_col(F.col(vec_col), nbits, dim).alias("bucket"),
+    )
+    probes = with_bucket.select(
+        "_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(2**i))
+                    for i in range(nbits)
+                ],
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        probes.alias("a")
+        .join(
+            with_bucket.select("_id", "bucket").alias("b"),
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = with_bucket.select(F.col("_id").alias("id_a"), F.col("_v").alias("ea"))
+    vb = with_bucket.select(F.col("_id").alias("id_b"), F.col("_v").alias("eb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", cosine_col(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def _oracle_bucket_sql(nbits: int, dim: int) -> str:
+    def proj(i: int) -> str:
+        return (
+            "list_sum([embedding[d] * (CASE WHEN contains('89abcdef', "
+            f"substr(md5({i} || '|' || (d-1)), 1, 1)) THEN 1.0 ELSE -1.0 END) "
+            f"for d in generate_series(1, {dim})])"
+        )
+
+    return " + ".join(
+        f"(CASE WHEN {proj(i)} > 0 THEN {2**i} ELSE 0 END)" for i in range(nbits)
+    )
+
+
+def oracle_lsh_neardup_sql(
+    threshold: float = 0.35, *, nbits: int = 6, dim: int = 64
+) -> str:
+    """DuckDB oracle for `lsh_neardup_pairs`: the Hamming-≤1 candidate
+    set is the same whether generated by flip-explode or bit_count."""
+    bucket = _oracle_bucket_sql(nbits, dim)
+    cos = (
+        "ROUND(list_dot_product(a.embedding, b.embedding) / "
+        "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+        "sqrt(list_dot_product(b.embedding, b.embedding))), 4)"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+    FROM b a JOIN b b
+      ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
 def oracle_lsh_topk_sql(
     query_vec_id: int = 0, k: int = 20, *, nbits: int = 8, dim: int = 64,
     max_hamming: int = 1,

@@ -53,6 +53,15 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("dedup_exact",
      [r"partial_min", r"hashpartitioning\(text_hash"],
      [r"hashpartitioning\([^)]*text#"]),
+    # near-dup pair candidate joins must key on the high-cardinality
+    # LSH bucket, never the low-cardinality metadata columns (which
+    # should be pruned from the scan entirely) — VERDICT r01 #2/#3
+    ("jaccard_bigram_pairs",
+     [r"Left keys \[2\]: \[band#\d+, bkey#\d+\]"],
+     [r"source#"]),
+    ("embedding_neardup",
+     [r"Left keys \[1\]: \[probe#\d+\]", r"Right keys \[1\]: \[bucket#\d+\]"],
+     [r"label#"]),
     # token stats are pure JVM expressions — no python eval anywhere
     # (higher-order functions fall out of whole-stage codegen by design,
     #  but they must never fall back to python)
