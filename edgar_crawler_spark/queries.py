@@ -1331,15 +1331,23 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivf_topk",
-    oracle=None,  # k-means is not SQL-expressible; rows-only check +
-    # pytest recall/exactness (operators/similarity.py:ivf_topk doc)
-    doc="IVF ANN: seeded k-means coarse quantizer, probe the 4 nearest "
-        "of 16 cells, exact cosine within. At scale `cell` is computed "
-        "at ingest and the probe is partition pruning. "
-        "operators/similarity.py:ivf_topk.",
+    oracle=S.oracle_ivf_topk_seeded_sql(
+        query_vec_id=0, k=20, n_cells=16, n_probe=4, dim=64
+    ),
+    doc="IVF ANN: deterministic hash-seeded codebook (k-means|| init "
+        "shape), probe the 4 nearest of 16 cells, exact cosine within "
+        "— fully DuckDB-oracled (VERDICT r01 #4). Cell assignment is a "
+        "shuffle-free codegen map (centroids compiled into the plan); "
+        "at scale `cell` is computed at ingest and the probe is "
+        "partition pruning. The Lloyd-trained variant (ivf_topk, "
+        "pyspark.ml KMeans) remains pytest-verified for recall. "
+        "operators/similarity.py:ivf_topk_seeded.",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.ivf_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
+    return S.ivf_topk_seeded(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20,
+        n_cells=16, n_probe=4, dim=64,
+    )
 
 
 # ---------------------------------------------------------------------------

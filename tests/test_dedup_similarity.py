@@ -165,3 +165,22 @@ class TestLshAnn:
         # deterministic across invocations (seeded quantizer)
         again = [r.vec_id for r in S.ivf_topk(emb, 0, k=20).collect()]
         assert again == [r.vec_id for r in rows]
+
+    def test_ivf_seeded_exact_within_probes_and_recall(self, spark):
+        """Hash-seeded codebook IVF (the oracle-able variant): same
+        exactness-within-probes and recall properties as the trained
+        one, plus bit-determinism across invocations."""
+        emb = load_table(spark, SF, "embeddings").cache()
+        brute = {r.vec_id: r.cos_sim for r in S.cosine_topk(emb, 0, k=500).collect()}
+        rows = S.ivf_topk_seeded(emb, 0, k=20, n_cells=16, n_probe=4).collect()
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True) and len(rows) == 20
+        for r in rows:
+            assert math.isclose(brute[r.vec_id], r.cos_sim, abs_tol=1e-9)
+        top20 = set(list(brute)[:20])
+        assert len({r.vec_id for r in rows} & top20) / 20 >= 0.3
+        again = [
+            r.vec_id
+            for r in S.ivf_topk_seeded(emb, 0, k=20, n_cells=16, n_probe=4).collect()
+        ]
+        assert again == [r.vec_id for r in rows]
