@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .canon import canonicalize_url
+from .company import enrich_pages, merge_company_info
 from .fetch import RobotsPolicy, SimulatedTransport, fetch_wave
 from .priority import assign_waves
 from .seen import build_sharded_bloom, filter_unseen
@@ -65,6 +66,7 @@ class CrawlJob:
         bloom_fpp: float = 0.01,
         transport_factory: Callable[[], SimulatedTransport] | None = None,
         robots: RobotsPolicy | None = None,
+        company_transport_factory: Callable[[], object] | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -75,6 +77,7 @@ class CrawlJob:
         self.bloom_fpp = bloom_fpp
         self.transport_factory = transport_factory
         self.robots = robots
+        self.company_transport_factory = company_transport_factory
 
     # -- state ---------------------------------------------------------
 
@@ -153,6 +156,16 @@ class CrawlJob:
             )
         )
 
+        # lazy company-info dim upsert (download_filings.py:572-646):
+        # only ciks NOT already in the dim are "fetched"; the merged
+        # dim rides the same atomic commit as the rest of the state.
+        dim = self.store.read_any(self.spark, "company_info")
+        next_version = (self.store.latest() or 0) + 1
+        new_dim = merge_company_info(
+            dim, fetched.select("cik"), next_version,
+            self.company_transport_factory,
+        )
+
         done_urls = fetched.select("url")
         new_seen = seen.unionByName(done_urls).dropDuplicates(["url"])
         # next frontier = this round's UNSEEN minus this wave's fetches:
@@ -168,6 +181,7 @@ class CrawlJob:
                 "seen": new_seen,
                 "pages": fetched,
                 "metrics": metrics,
+                "company_info": new_dim,
             },
             summary={
                 "stage": "wave",
@@ -230,6 +244,19 @@ class CrawlJob:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def company_info(self) -> DataFrame:
+        """The company-info dim from the newest snapshot carrying it
+        (grow-only across waves; survives kill/resume)."""
+        dim = self.store.read_any(self.spark, "company_info")
+        if dim is None:
+            raise RuntimeError("no company_info committed yet")
+        return dim
+
+    def enriched_pages(self) -> DataFrame:
+        """pages with missing company fields filled from the dim
+        (download_filings.py:648-656)."""
+        return enrich_pages(self.pages(), self.company_info())
 
     def requeue_failed(self) -> int:
         """Reference 'rerun to retry failed' idiom: move failed URLs

@@ -104,3 +104,13 @@ class SnapshotStore:
         if not os.path.isdir(path):
             return None
         return spark.read.parquet(path)
+
+    def read_any(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Read `table` from the NEWEST committed version that carries
+        it — for tables (e.g. the company_info dim) that not every
+        commit rewrites (a requeue commit writes only frontier+seen)."""
+        for v in reversed(self.versions()):
+            df = self.read(spark, table, v)
+            if df is not None:
+                return df
+        return None

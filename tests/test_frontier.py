@@ -350,6 +350,79 @@ class TestCrawlEndToEnd:
         assert res2.waves_run == 0 and res2.n_fetched == 0
 
 
+class TestCompanyInfoDim:
+    def test_dim_grows_lazily_and_survives_resume(self, spark, tmp_path):
+        """Reference lazy cache semantics (download_filings.py:572-646):
+        the dim grows per wave with only NEW ciks fetched; rows for
+        already-known ciks are never rewritten (their
+        fetched_at_version is immutable); the dim survives
+        kill/resume via the snapshot store."""
+        from edgar_crawler_spark.frontier.company import (
+            make_company_info_html,
+            parse_company_info_html,
+        )
+
+        root = str(tmp_path / "ci")
+        n = 120
+        job1 = CrawlJob(
+            spark, SnapshotStore(root), n_buckets=4, wave_size=30,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+        )
+        job1.run(_frontier_df(spark, n), max_waves=2)
+        dim1 = {r.cik: r for r in job1.company_info().collect()}
+        assert len(dim1) > 0
+        # dim holds exactly the ciks fetched so far
+        fetched_ciks = {
+            r.cik for r in job1.pages().select("cik").distinct().collect()
+        }
+        assert set(dim1) == fetched_ciks
+        # parsed fields round-trip the deterministic company page
+        for cik, row in list(dim1.items())[:5]:
+            want = parse_company_info_html(make_company_info_html(cik))
+            assert row.company_name == want["company_name"]
+            assert row.sic == want["sic"]
+            assert row.state_of_inc == want["state_of_inc"]
+            assert row.fiscal_year_end == want["fiscal_year_end"]
+
+        # "restart the process" and crawl to exhaustion
+        job2 = CrawlJob(
+            spark, SnapshotStore(root), n_buckets=4, wave_size=30,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+        )
+        job2.run(_frontier_df(spark, n))
+        dim2 = {r.cik: r for r in job2.company_info().collect()}
+        all_ciks = {
+            r.cik for r in job2.pages().select("cik").distinct().collect()
+        }
+        assert set(dim2) == all_ciks
+        assert len(dim2) >= len(dim1)
+        # grow-only: pre-resume rows kept their original fetch version
+        for cik, row in dim1.items():
+            assert dim2[cik].fetched_at_version == row.fetched_at_version
+        # exactly one row per cik ever (no refetch, no duplicates)
+        counts = (
+            job2.company_info().groupBy("cik").count()
+            .filter(F.col("count") > 1).count()
+        )
+        assert counts == 0
+
+    def test_enriched_pages_fill_missing_company(self, spark, tmp_path):
+        job = CrawlJob(
+            spark, SnapshotStore(str(tmp_path / "ci2")), n_buckets=2,
+            wave_size=40,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+        )
+        job.run(_frontier_df(spark, 40))
+        pages = job.pages()
+        enriched = job.enriched_pages()
+        assert enriched.count() == pages.count()
+        # company column filled from dim wherever the fact had null
+        assert enriched.filter(F.col("company").isNull()).count() == 0
+        # dim attributes joined in
+        assert "sic" in enriched.columns
+        assert enriched.filter(F.col("sic").isNull()).count() == 0
+
+
 class TestFusedCrawl:
     def test_fused_equals_two_stage(self, spark):
         """fetch_extract_wave (single python pass) must produce the
