@@ -156,15 +156,27 @@ def minhash_lsh_pairs(
 
 
 def simhash16(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """16-bit SimHash per document (frequency-weighted: repeated tokens
     vote repeatedly). Bit j = sign of Σ_tokens (±1 by the MSB of nibble
     j of md5(token)). One explode + one hash aggregate; the result is
     a LONG you can group or Hamming-probe.
+
+    `max_tokens` is the explode-skew guard (VERDICT r01 #7): one
+    mega-document's tokens all live in ONE input row, so its explode +
+    vote work runs serially inside a single map task no matter how the
+    shuffle is salted — the only real bound is capping the tokens that
+    vote. SimHash over the first N tokens is the standard production
+    trade (a near-dup's prefix is a near-dup); pick N ≫ the corpus
+    p99 so the cap only ever touches stragglers.
     """
+    toks = tokens_col(text_col)
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
     tok = docs.select(
-        F.col(id_col).alias("_id"), F.explode(tokens_col(text_col)).alias("t")
+        F.col(id_col).alias("_id"), F.explode(toks).alias("t")
     ).withColumn("h", F.md5("t"))
     votes = [
         F.sum(
@@ -239,19 +251,24 @@ def oracle_minhash_lsh_pairs_sql(
     """
 
 
-def oracle_simhash16_sql() -> str:
+def oracle_simhash16_sql(max_tokens: int | None = None) -> str:
     votes = ",\n      ".join(
         f"SUM(CASE WHEN contains('89abcdef', substr(h, {j + 1}, 1)) "
         f"THEN 1 ELSE -1 END) AS v{j}"
         for j in range(16)
     )
     bits = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "x -> x <> '')"
+    )
+    if max_tokens is not None:
+        toks = f"list_slice({toks}, 1, {max_tokens})"
     return f"""
     WITH tok AS (
       SELECT doc_id AS _id, md5(t) AS h
       FROM documents,
-           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              x -> x <> '')) AS u(t)),
+           UNNEST({toks}) AS u(t)),
     agg AS (
       SELECT _id,
       {votes}

@@ -1170,13 +1170,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "simhash_dedup",
-    oracle=D.oracle_simhash16_sql(),
+    oracle=D.oracle_simhash16_sql(max_tokens=4096),
     doc="16-bit frequency-weighted SimHash per document: one explode + "
         "one hash aggregate with 16 conditional sums, all codegen. "
         "Equal simhash = near-dup bucket. operators/dedup.py:simhash16.",
 )
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash16(_t(spark, sf_dir, "documents"))
+    return D.simhash16(_t(spark, sf_dir, "documents"), max_tokens=4096)
 
 
 @query(

@@ -117,6 +117,25 @@ class TestSimhash:
         assert out[1] == out[2] != out[3]
 
 
+class TestSimhashCap:
+    def test_mega_doc_capped_to_prefix(self, spark):
+        """max_tokens explode-skew guard: a mega-document's simhash
+        equals the simhash of its first max_tokens tokens, and short
+        docs are unaffected."""
+        long_words = " ".join(f"w{i % 97}" for i in range(5000))
+        prefix = " ".join(long_words.split()[:256])
+        df = spark.createDataFrame(
+            [(0, long_words), (1, prefix), (2, "alpha beta gamma")],
+            "doc_id long, text string",
+        )
+        capped = {r.doc_id: r.simhash
+                  for r in D.simhash16(df, max_tokens=256).collect()}
+        uncapped = {r.doc_id: r.simhash for r in D.simhash16(df).collect()}
+        assert capped[0] == uncapped[1]  # mega-doc == its prefix
+        assert capped[2] == uncapped[2]  # short docs unaffected
+        assert capped[1] == uncapped[1]
+
+
 class TestLshAnn:
     def test_buckets_match_python(self, spark):
         emb = load_table(spark, SF, "embeddings").limit(20)
