@@ -1,0 +1,116 @@
+"""10× plan-stability run (VERDICT r01 next-round #8).
+
+Builds a deterministic sf1.0-equivalent dataset in /tmp by replicating
+the driver's sf0.1 tables 10× with key offsets (numeric ids shifted by
+copy*N so keys stay distinct; document text gets a per-copy suffix so
+the dedup structure is 10-member near-dup groups — a realistic web
+corpus shape), then times the most expensive headline queries at
+sf0.1 and at the 10× set and reports the time ratio.
+
+The point is PLAN stability: a query whose plan survives 10× data
+should scale ~linearly in rows (ratio ≈ 10 of work at the same
+parallelism means ratio ≲ 10 wall-clock; a quadratic candidate join or
+a collapsed partition shows up as ratio ≫ 10).
+
+Usage: python tools/bench_sf1.py [--rebuild]
+Keep the machine otherwise idle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from edgar_crawler_spark.queries import QUERIES
+from edgar_crawler_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/ecs_sf1"
+COPIES = 10
+
+# (table, numeric id columns to offset, text column to perturb)
+TABLES = {
+    "documents": (["doc_id"], "text"),
+    "embeddings": (["vec_id"], None),
+    "lineitem": (["l_orderkey"], None),
+    "orders": (["o_orderkey"], None),
+}
+
+QUERY_SET = [
+    "simhash_dedup",
+    "ann_lsh_topk",
+    "keep_last_dedup",
+    "dedup_norm_exact",
+    "jaccard_bigram_pairs",
+    "embedding_neardup",
+    "ann_ivf_topk",
+]
+
+
+def build(spark, rebuild: bool = False) -> None:
+    os.makedirs(DST, exist_ok=True)
+    for name, (id_cols, text_col) in TABLES.items():
+        out = os.path.join(DST, f"{name}.parquet")
+        if os.path.exists(out) and not rebuild:
+            continue
+        src = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        n = src.count()
+        parts = []
+        for i in range(COPIES):
+            df = src
+            for c in id_cols:
+                df = df.withColumn(c, F.col(c) + F.lit(i * n).cast("long"))
+            if text_col and i > 0:
+                df = df.withColumn(
+                    text_col, F.concat(F.col(text_col), F.lit(f" copy{i}"))
+                )
+            parts.append(df)
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        full.repartition(32).write.mode("overwrite").parquet(out)
+        print(f"built {name}: {n} -> {n * COPIES} rows", file=sys.stderr)
+    # remaining small tables: symlink-copy so load_table finds them
+    for f in os.listdir(SRC):
+        dst = os.path.join(DST, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f), dst)
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    rebuild = "--rebuild" in sys.argv
+    spark = get_spark("bench-sf1", cores=32, shuffle_partitions=32)
+    build(spark, rebuild)
+
+    force(QUERIES["count_by_type"].fn(spark, SRC))  # warm
+    out = {}
+    for name in QUERY_SET:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        force(q.fn(spark, SRC))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        force(q.fn(spark, DST))
+        t_big = time.perf_counter() - t0
+        out[name] = {
+            "sf0.1_sec": round(t_small, 3),
+            "sf1.0_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+        }
+        print(f"{name:24s} {t_small:7.2f}s -> {t_big:7.2f}s  "
+              f"x{t_big / t_small:5.2f}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,10 @@ def audit_one(name: str, plan: str, must: list[str], must_not: list[str]) -> lis
 
 
 def run_audits(spark, verbose: bool = False) -> list[str]:
+    # other suites may have .cache()d test tables in this session; a
+    # cached scan (InMemoryTableScan, all columns) would mask the
+    # pushdown/pruning shapes these audits pin
+    spark.catalog.clearCache()
     errors = []
     for name, must, must_not in AUDITS:
         df = QUERIES[name].fn(spark, SF)
