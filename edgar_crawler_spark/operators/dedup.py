@@ -97,6 +97,25 @@ def jaccard_col(a: Column, b: Column, nd: int = 4) -> Column:
     )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repair degenerate scan parallelism before a map-heavy stage.
+
+    The sandbox test tables are single-row-group parquet files —
+    unsplittable, so the scan yields ONE task and the whole
+    shingle/hash map stage serializes on one core (measured: 29s vs
+    ~3s for jaccard_bigram_pairs at sf0.1). When the input already has
+    >= defaultParallelism partitions — any real deployment reading
+    128MB-row-group files at 100 TB — this is a NO-OP: no shuffle is
+    added at scale, the round-robin exchange exists only to undo a
+    degenerate file layout.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles_col(text: Column | str, ngram: int = 1) -> Column:
     """Distinct shingle set: distinct tokens (ngram=1) or distinct word
     n-grams (ngram>=2) — the unit both MinHash and exact Jaccard see."""
@@ -126,13 +145,38 @@ def minhash_lsh_pairs(
     metadata column like `source`.
     """
     r = k // bands
-    toks = docs.select(
-        F.col(id_col).alias("_id"), shingles_col(text_col, ngram).alias("s")
-    ).filter(F.size("s") > 0)
+    # toks and the band table are referenced from MULTIPLE sides of the
+    # self-join + verify join; without materialization Catalyst
+    # recomputes the shingle+MinHash projection once per reference
+    # (measured 3-4x). cache() is the sandbox analog of the 100 TB
+    # shape, where signatures/bands are computed ONCE at ingest and
+    # stored as tables.
+    # Two-step tokenize→shingle: ngrams_col's element_at accesses must
+    # reference a NAMED token column, not the inline split expression —
+    # inline, every n-gram slot re-evaluates the whole tokenize (6.5x
+    # slower measured; CollapseProject keeps the split un-inlined
+    # because it is not "cheap").
+    shingle = (
+        F.array_distinct(ngrams_col(F.col("w"), ngram))
+        if ngram >= 2
+        else F.array_distinct(F.col("w"))
+    )
+    # guard on the TOKEN count, not size(s): a filter on s would be
+    # predicate-pushed through both projects, re-inlining the full
+    # n-gram expression into the pushed condition (quadratic again).
+    # size(w) >= ngram <=> size(s) > 0 (n-grams of shorter docs are
+    # empty; grams themselves are never empty strings).
+    toks = (
+        spread(docs)
+        .select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("w"))
+        .filter(F.size("w") >= max(ngram, 1))
+        .select("_id", shingle.alias("s"))
+        .cache()
+    )
     sig = toks.select("_id", minhash_signature_col(F.col("s"), k).alias("mh"))
     bands_df = sig.select(
         "_id", F.explode(band_keys_col(F.col("mh"), bands, r)).alias("bk")
-    ).select("_id", "bk.band", "bk.bkey")
+    ).select("_id", "bk.band", "bk.bkey").cache()
     a, b = bands_df.alias("a"), bands_df.alias("b")
     cand = (
         a.join(
@@ -175,7 +219,7 @@ def simhash16(
     toks = tokens_col(text_col)
     if max_tokens is not None:
         toks = F.slice(toks, 1, max_tokens)
-    tok = docs.select(
+    tok = spread(docs).select(
         F.col(id_col).alias("_id"), F.explode(toks).alias("t")
     ).withColumn("h", F.md5("t"))
     votes = [

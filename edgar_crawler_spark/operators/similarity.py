@@ -205,7 +205,9 @@ def ivf_topk_seeded(
         )
     )["cell"]
 
-    assigned = emb.select(id_col, vec_col, cell.alias("cell"))
+    from .dedup import spread  # noqa: PLC0415
+
+    assigned = spread(emb).select(id_col, vec_col, cell.alias("cell"))
     qrow = assigned.filter(F.col(id_col) == query_vec_id).head(1)
     if not qrow:
         raise ValueError(f"query vec {query_vec_id} not found")
@@ -303,11 +305,15 @@ def lsh_neardup_pairs(
     buckets O(N/2^nbits) small, and recall is raised by unioning a few
     independent hash tables, not by widening buckets.
     """
-    with_bucket = emb.select(
+    from .dedup import spread  # noqa: PLC0415
+
+    # bucket projection is referenced from three join sides; compute
+    # once, in parallel (see dedup.spread on the degenerate-scan case)
+    with_bucket = spread(emb).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         lsh_bucket_col(F.col(vec_col), nbits, dim).alias("bucket"),
-    )
+    ).cache()
     probes = with_bucket.select(
         "_id",
         F.explode(

@@ -62,6 +62,13 @@ def bench_extract(spark) -> float:
         "form_type string, filing_date string, filename string",
     ).repartition(int(spark.sparkContext.defaultParallelism))
     df.cache().count()
+    # untimed warm pass over one small batch per core: spawns + warms
+    # the python workers and the Arrow path so the timed run measures
+    # extraction, not interpreter/worker startup (the other bench
+    # queries are JVM-only, so workers are cold right before this).
+    warm = df.sample(fraction=0.12, seed=1)  # sample keeps ALL
+    # partitions populated (limit would collapse to one worker)
+    extract_items_job(warm).agg(F.count(F.lit(1))).collect()
     t0 = time.perf_counter()
     n = (
         extract_items_job(df)

@@ -109,6 +109,23 @@ def main() -> None:
         }
         print(f"{name:24s} {t_small:7.2f}s -> {t_big:7.2f}s  "
               f"x{t_big / t_small:5.2f}", file=sys.stderr)
+
+    # the designed 10× mitigation for the near-dup pair query: nbits
+    # grows with log2(N) so bucket occupancy stays ~constant (see
+    # lsh_neardup_pairs docstring). +log2(10) ≈ 3 bits at 10× data.
+    from edgar_crawler_spark.operators.similarity import (  # noqa: PLC0415
+        lsh_neardup_pairs,
+    )
+    from edgar_crawler_spark.tables import load_table  # noqa: PLC0415
+
+    t0 = time.perf_counter()
+    force(lsh_neardup_pairs(
+        load_table(spark, DST, "embeddings"), threshold=0.35, nbits=9, dim=64,
+    ))
+    t = time.perf_counter() - t0
+    out["embedding_neardup_nbits9_sf1.0"] = {"sf1.0_sec": round(t, 3)}
+    print(f"{'embedding_neardup(nbits=9)':28s} sf1.0 {t:7.2f}s",
+          file=sys.stderr)
     print(json.dumps(out))
 
 
