@@ -240,14 +240,17 @@ def main() -> None:
     lo, hi = (str(c) for c in CORES)
     ratio = int(hi) / int(lo)
 
+
     def eff(metric: str) -> float:
         return round((results[hi][metric] / results[lo][metric]) / ratio, 3)
 
     summary = {
         "metric": "scaling_efficiency",
-        "n_urls": N_URLS,
-        "n_crawl_urls": CRAWL_URLS,
-        "n_pages": N_PAGES,
+        # report what actually ran (the materialized input may be a
+        # larger set from an earlier round; _READY short-circuits)
+        "n_urls": results[lo]["n_scheduled"],
+        "n_crawl_urls": results[lo]["n_crawled"],
+        "n_pages": results[lo]["n_filings"],
         "configs": results,
         "efficiency_schedule": eff("urls_scheduled_per_sec"),
         "efficiency_crawl": eff("urls_fetched_per_sec"),
@@ -262,6 +265,14 @@ def write_report(s: dict) -> None:
     r = s["configs"]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve manually-added sections (e.g. the 10x plan-stability
+    # table) across regenerations of the auto block
+    extra = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find("\n## Round")
+        if i >= 0:
+            extra = old[i:]
     with open(path, "w") as f:
         f.write(f"""# Scaling benchmark (north-rule criterion)
 
@@ -301,6 +312,7 @@ Raw JSON:
 {json.dumps(s, indent=2)}
 ```
 """)
+        f.write(extra)
     print(f"wrote {path}", file=sys.stderr)
 
 
