@@ -109,6 +109,8 @@ def spread(df: DataFrame) -> DataFrame:
     added at scale, the round-robin exchange exists only to undo a
     degenerate file layout.
     """
+    if df.isStreaming:  # .rdd is undefined on streaming plans
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
