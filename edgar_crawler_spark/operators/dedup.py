@@ -321,3 +321,96 @@ def oracle_simhash16_sql(max_tokens: int | None = None) -> str:
       FROM tok GROUP BY _id)
     SELECT _id AS doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg
     """
+
+
+def cc_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected-components dedup clustering — the pipeline stage AFTER
+    pair generation: near-dup pairs induce a graph; each component
+    keeps one canonical document (the min id).
+
+    Algorithm: min-label propagation (each node repeatedly adopts the
+    minimum label among itself and its neighbors) — the degenerate-but-
+    sufficient form of the map-reduce large-star/small-star CC
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    Converges in O(component diameter) rounds; LSH near-dup components
+    are clique-like, so 2-4 rounds in practice. Each round is one
+    shuffle-on-id join; the driver only reads the 1-row convergence
+    counter (bounded metadata, like priority.py's partition counts).
+    localCheckpoint truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1.
+
+    Returns (id, cluster_id, keep): keep marks the canonical doc.
+    Deterministic — no RNG, min is order-free.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+
+    labels = docs.select(F.col(id_col).alias("id")).withColumn(
+        "label", F.col("id")
+    ).localCheckpoint(eager=False)
+
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["id"] == neigh_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )
+
+
+def oracle_cc_clusters_sql(pairs_sql: str, id_expr: str = "doc_id") -> str:
+    """DuckDB oracle for `cc_clusters` over the pair query `pairs_sql`
+    (must yield id_a, id_b): recursive transitive closure, component
+    label = min(reachable ∪ self)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(src, dst) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u),
+    labeled AS (
+      SELECT d.{id_expr} AS doc_id,
+             LEAST(d.{id_expr}, COALESCE(MIN(r.dst), d.{id_expr}))
+               AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.{id_expr}
+      GROUP BY d.{id_expr})
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM labeled
+    """

@@ -1435,3 +1435,105 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("norm"), 4).alias("avg_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline round 2: cluster / split / repetition
+# ---------------------------------------------------------------------------
+
+_CC_PAIRS_KW = dict(k=8, bands=4, jaccard_threshold=0.8)
+
+
+@query(
+    "dedup_clusters",
+    oracle=D.oracle_cc_clusters_sql(
+        D.oracle_minhash_lsh_pairs_sql(**_CC_PAIRS_KW)
+    ),
+    doc="Connected-components dedup clustering — the stage AFTER pair "
+        "generation: MinHash-LSH near-dup pairs induce a graph; each "
+        "component keeps one canonical doc (min id). Min-label "
+        "propagation, one shuffle-on-id join per round, O(diameter) "
+        "rounds (LSH components are clique-like). DuckDB oracle = "
+        "recursive transitive closure. operators/dedup.py:cc_clusters.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, **_CC_PAIRS_KW)
+    return D.cc_clusters(docs, pairs)
+
+
+@query(
+    "split_assign",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS BIGINT) AS bucket_pct,
+           CASE
+             WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 < 90 THEN 'train'
+             WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 < 95 THEN 'validation'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc="Consistent train/validation/test assignment: split = "
+        "md5('split|'+id) bucket — stable under corpus growth and "
+        "reshuffling (a doc never migrates between splits), computed "
+        "in the scan projection with no shuffle. The standard "
+        "hash-split idiom of a training-data pipeline.",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    pct = h % 100
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        pct.alias("bucket_pct"),
+        F.when(pct < 90, F.lit("train"))
+        .when(pct < 95, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@query(
+    "repetition_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)] AS gs
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents))
+    SELECT doc_id,
+           CAST(len(gs) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(gs) = 0 THEN 0.0
+                ELSE ROUND(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 4)
+           END AS dup_ratio
+    FROM g
+    """,
+    doc="Repetition-ratio quality signal (the Gopher duplicate-n-gram "
+        "rule family): fraction of repeated word bigrams per document. "
+        "Pure scan-projection expressions; high dup_ratio marks "
+        "boilerplate/spam for corpus filtering.",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", D.tokens_col("text").alias("w")
+    )
+    withg = base.select("doc_id", D.ngrams_col(F.col("w"), 2).alias("gs"))
+    n = F.size("gs")
+    nd = F.size(F.array_distinct("gs"))
+    return withg.select(
+        "doc_id",
+        n.cast("long").alias("n_bigrams"),
+        nd.cast("long").alias("n_distinct"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(1.0 - nd.cast("double") / n, 4))
+        .alias("dup_ratio"),
+    )

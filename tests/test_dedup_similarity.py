@@ -203,3 +203,32 @@ class TestLshAnn:
             for r in S.ivf_topk_seeded(emb, 0, k=20, n_cells=16, n_probe=4).collect()
         ]
         assert again == [r.vec_id for r in rows]
+
+
+class TestCcClusters:
+    def test_components_on_constructed_graph(self, spark):
+        """Chain 1-2-3 and pair 7-9 are components (min-id canonical);
+        5 is a singleton. Label propagation must cross the chain (two
+        hops from 3 to 1), which a single neighbor-min pass would
+        miss."""
+        docs = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id long"
+        )
+        pairs = spark.createDataFrame(
+            [(2, 3, 0.9), (1, 2, 0.9), (7, 9, 0.85)],
+            "id_a long, id_b long, jaccard double",
+        )
+        out = {r.doc_id: (r.cluster_id, r.keep)
+               for r in D.cc_clusters(docs, pairs).collect()}
+        assert out == {
+            1: (1, True), 2: (1, False), 3: (1, False),
+            5: (5, True), 7: (7, True), 9: (7, False),
+        }
+
+    def test_empty_pairs_all_singletons(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+        pairs = spark.createDataFrame(
+            [], "id_a long, id_b long, jaccard double"
+        )
+        out = D.cc_clusters(docs, pairs).collect()
+        assert all(r.cluster_id == r.doc_id and r.keep for r in out)
