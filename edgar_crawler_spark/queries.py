@@ -1537,3 +1537,121 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(1.0 - nd.cast("double") / n, 4))
         .alias("dup_ratio"),
     )
+
+
+# char-trigram profiles for the n-gram language-ID heuristic; tiny,
+# deterministic, and compiled into the plan (no broadcast needed)
+_LANGID_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", " is", "is ", "ing"],
+    "de": ["der", "er ", " de", "sch", "ich", "ein", "und", " un", "en "],
+    "fr": [" le", "les", "es ", " de", "de ", "ent", " et", "et ", "que"],
+}
+
+
+@query(
+    "langid_ngram",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {scores}
+      FROM (SELECT doc_id, lang,
+                   ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       || ' ' AS p
+            FROM documents))
+    SELECT doc_id, lang,
+           s_en, s_de, s_fr,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+    """.format(scores=", ".join(
+        "CAST(" + " + ".join(
+            f"len(regexp_extract_all(p, '{t}'))"
+            for t in _LANGID_PROFILES[lang]
+        ) + f" AS BIGINT) AS s_{lang}"
+        for lang in ("en", "de", "fr")
+    )),
+    doc="Language-ID via char-trigram profile scoring (the classic "
+        "n-gram heuristic): per-language trigram hit counts over the "
+        "space-framed lowercase text, argmax with a fixed tie order — "
+        "pure scan-projection regexp_counts, profiles compiled into "
+        "the plan. The labeled `lang` column rides along so accuracy "
+        "can be rolled up downstream (lang_agreement).",
+)
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+        F.lit(" "),
+    )
+    base = _t(spark, sf_dir, "documents").select("doc_id", "lang", p.alias("p"))
+    scores = {
+        lang: sum(
+            (F.regexp_count(F.col("p"), F.lit(t)) for t in trigrams),
+            F.lit(0),
+        ).cast("long")
+        for lang, trigrams in _LANGID_PROFILES.items()
+    }
+    scored = base.select(
+        "doc_id", "lang",
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+    )
+    return scored.select(
+        "doc_id", "lang", "s_en", "s_de", "s_fr",
+        F.when(
+            (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when(F.col("s_de") >= F.col("s_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+        .alias("pred_lang"),
+    )
+
+
+@query(
+    "idf_doc_score",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt),
+    idf AS (
+      SELECT t, ln((SELECT n_docs FROM n) * 1.0 / COUNT(*)) AS idf
+      FROM dt GROUP BY t)
+    SELECT dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(AVG(idf.idf), 4) AS avg_idf
+    FROM dt JOIN idf ON dt.t = idf.t
+    GROUP BY dt.doc_id
+    """,
+    doc="Corpus-level IDF quality score — the canonical TWO-PASS "
+        "pipeline shape: pass 1 aggregates document frequency per "
+        "token (map-side partial counts, shuffle only (token, n)); "
+        "pass 2 joins the idf dim back to per-doc terms and averages. "
+        "At 100 TB the idf table is vocabulary-sized (≪ corpus) and "
+        "broadcasts; low avg_idf marks boilerplate documents.",
+)
+def q_idf_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dt = (
+        D.spread(docs)
+        .select("doc_id", F.explode(D.tokens_col("text")).alias("t"))
+        .distinct()
+        .cache()
+    )
+    n_docs = dt.select("doc_id").distinct().count()
+    idf = dt.groupBy("t").agg(
+        F.log(F.lit(float(n_docs)) / F.count(F.lit(1))).alias("idf")
+    )
+    return (
+        dt.join(F.broadcast(idf), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.avg("idf"), 4).alias("avg_idf"),
+        )
+    )
