@@ -156,3 +156,73 @@ def oracle_sample_frames_sql(every: int = 4) -> str:
            md5(h || '|' || fi) AS frame_hash
     FROM m, UNNEST(generate_series(0, n_frames - 1, {every})) AS u(fi)
     """
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, format string, width int, height int, "
+    "out_width int, out_height int, out_hash string"
+)
+
+
+def resize_media(
+    media: DataFrame, box: int = 224, id_col: str = "doc_id",
+    payload_col: str = "payload", codec=fake_codec,
+) -> DataFrame:
+    """1 row → 1 row resize transform (the feature-extract/resize stage
+    of a multimodal ingest): fit the decoded frame into a `box`×`box`
+    square preserving aspect ratio. Pixel math is the deterministic
+    fake (real resize plugs into `codec`/PIL on a real cluster); the
+    geometry is INTEGER arithmetic — (dim*box) // max(w,h) — so every
+    engine derives identical shapes, and the output payload is
+    fingerprinted, not materialized (at 100 TB the resized bytes land
+    next to the originals in the object store; here the hash stands in
+    for them).
+    """
+    import hashlib as _h  # noqa: PLC0415
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p)
+                m = codec(payload)
+                w, h = m["width"], m["height"]
+                longest = max(w, h)
+                ow = max(1, (w * box) // longest)
+                oh = max(1, (h * box) // longest)
+                ph = _h.md5(payload).hexdigest()
+                rows.append({
+                    "doc_id": did, "format": m["format"],
+                    "width": w, "height": h,
+                    "out_width": ow, "out_height": oh,
+                    "out_hash": _h.md5(f"{ph}|{ow}x{oh}".encode()).hexdigest(),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "format", "width", "height",
+                "out_width", "out_height", "out_hash",
+            ])
+
+    return media.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+def oracle_resize_media_sql(box: int = 224) -> str:
+    d0 = _hex1("substr(h, 1, 1)")
+    d12 = f"({_hex1('substr(h, 2, 1)')}) * 16 + ({_hex1('substr(h, 3, 1)')})"
+    d34 = f"({_hex1('substr(h, 4, 1)')}) * 16 + ({_hex1('substr(h, 5, 1)')})"
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             ['jpeg','png','webp','gif'][(({d0}) % 4) + 1] AS format,
+             64 + ({d12}) AS w, 64 + ({d34}) AS h, mh
+      FROM (SELECT doc_id, md5(text) AS mh, md5(text) AS h FROM documents)),
+    g AS (
+      SELECT doc_id, format, w, h, mh,
+             GREATEST((w * {box}) // GREATEST(w, h), 1) AS ow,
+             GREATEST((h * {box}) // GREATEST(w, h), 1) AS oh
+      FROM m)
+    SELECT doc_id, format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+           md5(mh || '|' || ow || 'x' || oh) AS out_hash
+    FROM g
+    """

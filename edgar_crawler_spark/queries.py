@@ -1655,3 +1655,68 @@ def q_idf_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("idf"), 4).alias("avg_idf"),
         )
     )
+
+
+@query(
+    "media_resize",
+    oracle=M.oracle_resize_media_sql(box=224),
+    doc="Multimodal resize transform (1 row → 1 row): fit each decoded "
+        "frame into 224×224 preserving aspect ratio — INTEGER geometry "
+        "((dim*box)//max(w,h)) so every engine derives identical "
+        "shapes; output payload fingerprinted, not materialized. Real "
+        "pixel math plugs into the codec slot on a cluster with PIL. "
+        "operators/multimodal.py:resize_media.",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return M.resize_media(M.documents_as_media(docs), box=224)
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS max_abs
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, max_abs,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) / max_abs * 127) AS BIGINT))
+               AS qv
+      FROM m WHERE max_abs > 0)
+    SELECT vec_id,
+           ROUND(max_abs, 6) AS max_abs,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q
+    """,
+    doc="Symmetric int8 embedding quantization (the storage/ANN "
+        "compression pass of an embedding pipeline): scale = "
+        "max|x|/127, q = floor(x/max|x|*127) — floor, not round, so "
+        "both engines derive bit-identical codes from IEEE doubles. "
+        "Verified via per-vector code aggregates (sum/min/max); the "
+        "code array itself stays in Spark (array<tinyint> at 1/4 the "
+        "footprint, computed in the scan projection).",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    max_abs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    m = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", max_abs.alias("max_abs")
+    ).filter(F.col("max_abs") > 0)
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / F.col("max_abs") * 127).cast("long"),
+    )
+    q = m.select("vec_id", F.col("max_abs"), qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        F.round("max_abs", 6).alias("max_abs"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )
