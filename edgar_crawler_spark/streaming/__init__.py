@@ -1,10 +1,12 @@
 from .jobs import (
+    stream_dedup_docs,
     stream_extract,
     stream_fetch_rate,
     stream_frontier_foreachbatch,
 )
 
 __all__ = [
+    "stream_dedup_docs",
     "stream_extract",
     "stream_fetch_rate",
     "stream_frontier_foreachbatch",

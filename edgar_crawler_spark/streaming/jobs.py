@@ -155,3 +155,27 @@ def stream_frontier_foreachbatch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_docs(
+    docs: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: first occurrence of
+    each content hash passes; duplicates arriving within the watermark
+    horizon are dropped; dedup state older than the watermark is
+    EVICTED from the state store (dropDuplicatesWithinWatermark).
+
+    This is the streaming dual of the batch dedup_exact query — and
+    the difference that matters at web scale: a crawl stream cannot
+    hold every content hash ever seen in the state store, so the
+    watermark bounds state to the late-data horizon, exactly how a
+    production ingest dedupes near-simultaneous refetches while the
+    durable exact-dedup runs in batch downstream.
+
+    `docs` is a streaming DataFrame with (doc_id, text, event_ts).
+    """
+    return (
+        docs.withColumn("text_hash", F.md5("text"))
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )

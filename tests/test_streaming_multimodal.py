@@ -124,3 +124,54 @@ class TestStreamFrontier:
         pages = job.pages()
         assert pages.count() == 90
         assert pages.select("url").distinct().count() == 90
+
+
+class TestStreamDedup:
+    def test_watermark_bounded_exact_dedup(self, spark, tmp_path):
+        """First occurrence of each content hash passes; duplicates
+        within the watermark horizon are dropped — across micro-batch
+        boundaries (state store), not just within one batch."""
+        from edgar_crawler_spark.streaming import stream_dedup_docs
+
+        src = str(tmp_path / "docs_src")
+        out = str(tmp_path / "docs_out")
+        ckpt = str(tmp_path / "docs_ckpt")
+        schema = "doc_id long, text string, event_ts timestamp"
+        from datetime import datetime
+
+        def ts(s_):
+            return datetime.fromisoformat(s_)
+
+        # batch 1: A, B, dup(A); batch 2 (later file): dup(B), C
+        spark.createDataFrame(
+            [(1, "alpha text", ts("2024-01-01 00:00:00")),
+             (2, "beta text", ts("2024-01-01 00:00:01")),
+             (3, "alpha text", ts("2024-01-01 00:00:02"))],
+            schema,
+        ).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(4, "beta text", ts("2024-01-01 00:00:03")),
+             (5, "gamma text", ts("2024-01-01 00:00:04"))],
+            schema,
+        ).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # forces >= 2 micro-batches
+            .parquet(src)
+        )
+        q = (
+            stream_dedup_docs(stream, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+        rows = spark.read.parquet(out).collect()
+        kept_texts = sorted(r.text for r in rows)
+        assert kept_texts == ["alpha text", "beta text", "gamma text"]
+        # exactly one survivor per hash
+        assert len({r.text_hash for r in rows}) == len(rows) == 3
