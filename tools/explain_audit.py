@@ -62,6 +62,17 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("embedding_neardup",
      [r"Left keys \[1\]: \[probe#\d+\]", r"Right keys \[1\]: \[bucket#\d+\]"],
      [r"label#"]),
+    # scan-projection-only analytics: zero shuffles, zero python
+    ("langid_ngram", [r"Scan parquet"],
+     [r"Exchange|BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    ("split_assign", [r"Scan parquet"],
+     [r"Exchange|BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    ("embedding_quantize", [r"Scan parquet"],
+     [r"Exchange|BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # two-pass IDF: the vocabulary dim joins back as a BROADCAST
+    ("idf_doc_score", [r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    # multimodal resize: exactly one Arrow python stage, no shuffle
+    ("media_resize", [r"MapInPandas"], [r"Exchange"]),
     # token stats are pure JVM expressions — no python eval anywhere
     # (higher-order functions fall out of whole-stage codegen by design,
     #  but they must never fall back to python)
