@@ -89,12 +89,14 @@ def band_keys_col(sig: Column, bands: int, rows_per_band: int) -> Column:
 
 
 def jaccard_col(a: Column, b: Column, nd: int = 4) -> Column:
-    """Exact Jaccard of two (distinct-element) arrays, rounded."""
-    return F.round(
-        F.size(F.array_intersect(a, b)).cast("double")
-        / F.size(F.array_union(a, b)),
-        nd,
-    )
+    """Exact Jaccard of two (distinct-element) arrays, rounded.
+
+    One array pass: |A∪B| = |A|+|B|-|A∩B| for distinct-element
+    arrays, so array_union (a second hash-build over both arrays per
+    pair) is never materialized — this runs once per CANDIDATE pair,
+    the hottest expression of the near-dup verify stage."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return F.round(inter / (F.size(a) + F.size(b) - inter), nd)
 
 
 def spread(df: DataFrame) -> DataFrame:
