@@ -1720,3 +1720,347 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline round 2b: temporal join / decontamination /
+# vocabulary / packing / sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_last_view",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'purchase'))
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           (SELECT MAX(epoch_us(v.ts)) FROM t v
+            WHERE v.event_type = 'view'
+              AND v.user_id = p.user_id AND v.ts <= p.ts) AS last_view_us,
+           epoch_us(p.ts)
+             - (SELECT MAX(epoch_us(v.ts)) FROM t v
+                WHERE v.event_type = 'view'
+                  AND v.user_id = p.user_id AND v.ts <= p.ts) AS gap_us
+    FROM t p WHERE p.event_type = 'purchase'
+    """,
+    doc="As-of (temporal) join: each purchase matched to the user's "
+        "most recent view at-or-before it. Spark has no ASOF JOIN "
+        "operator; the scalable formulation is union-tag + window "
+        "last(ignorenulls) over (user, time) — ONE shuffle on the "
+        "user key, no range cross-product, no correlated subquery. "
+        "Same-instant ties break views-first so ts<=ts matches, "
+        "mirroring ASOF semantics. At 100 TB both sides shuffle once "
+        "on user_id and stream through the window in sort order.",
+)
+def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id", "user_id", "ts", "event_type",
+            F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+        )
+    )
+    # views sort before purchases at the same timestamp => "<=" match
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_type").desc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = ev.withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    # events.ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so casting to
+    # TIMESTAMP and taking unix_micros equals DuckDB's epoch_us(naive ts).
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    return (
+        matched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            us("ts").alias("purchase_us"),
+            us("last_view_ts").alias("last_view_us"),
+            (us("ts") - us("last_view_ts")).alias("gap_us"),
+        )
+    )
+
+
+_CONTAM_N = 5  # shingle width (tokens) for train->eval decontamination
+
+
+@query(
+    "ngram_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS pct,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id, pct,
+             list_distinct([md5(array_to_string(w[i:i+{_CONTAM_N - 1}], ' '))
+                            for i in generate_series(1, len(w) - {_CONTAM_N - 1})])
+               AS shs
+      FROM toks WHERE len(w) >= {_CONTAM_N}),
+    train_sh AS (
+      SELECT DISTINCT s FROM sh, UNNEST(shs) AS u(s) WHERE pct < 90),
+    eval_sh AS (
+      SELECT doc_id, s FROM sh, UNNEST(shs) AS u(s) WHERE pct >= 95)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           ROUND(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS contamination_rate
+    FROM eval_sh e LEFT JOIN train_sh t ON e.s = t.s
+    GROUP BY e.doc_id
+    """,
+    doc="Train->eval n-gram decontamination (the GPT-3/PaLM report "
+        "methodology): per held-out doc, the fraction of its distinct "
+        f"{_CONTAM_N}-token shingles that appear anywhere in the train "
+        "split. Shingles are md5-hashed so the shuffle and the join "
+        "carry 16-byte keys, never text; the join key is the shingle "
+        "hash (high cardinality — no hot blocks); train-side shingles "
+        "are distinct-ed map-side before the shuffle. At 100 TB this "
+        "is the standard two-sided explode-join decontamination "
+        "shape; the train shingle set can also be swapped for a bloom "
+        "filter (frontier/bloom.py) when only a boolean verdict is "
+        "needed.",
+)
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pct = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    toks = D.spread(docs).select(
+        "doc_id", pct.alias("pct"), D.tokens_col("text").alias("w")
+    ).filter(F.size("w") >= _CONTAM_N)
+    shingle = F.transform(
+        F.sequence(F.lit(0), F.size("w") - _CONTAM_N),
+        lambda i: F.md5(F.array_join(F.slice("w", i + 1, _CONTAM_N), " ")),
+    )
+    sh = toks.select("doc_id", "pct", F.array_distinct(shingle).alias("shs"))
+    train_sh = (
+        sh.filter(F.col("pct") < 90)
+        .select(F.explode("shs").alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    eval_sh = sh.filter(F.col("pct") >= 95).select(
+        "doc_id", F.explode("shs").alias("s")
+    )
+    return (
+        eval_sh.join(train_sh, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)), 4
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+@query(
+    "vocab_topk",
+    oracle="""
+    SELECT t AS token,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS u(t)
+    GROUP BY t
+    ORDER BY n_total DESC, token ASC
+    LIMIT 100
+    """,
+    doc="Corpus vocabulary top-k: token totals + document frequency, "
+        "deterministic (count desc, token asc) cut. The aggregation "
+        "is two-level by construction — Spark's partial hash agg "
+        "combines per-partition counts map-side, so the shuffle "
+        "carries one row per (partition, token), vocabulary-sized, "
+        "not corpus-sized; the top-k is TakeOrderedAndProject (no "
+        "global sort). The first stage of any tokenizer-training / "
+        "vocab-coverage audit.",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dt = D.spread(docs).select(
+        "doc_id", F.explode(D.tokens_col("text")).alias("token")
+    )
+    agg = dt.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return agg.orderBy(F.desc("n_total"), F.asc("token")).limit(100)
+
+
+@query(
+    "length_quantiles",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+           ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 4) AS p75,
+           ROUND(quantile_cont(n_chars, 0.95), 4) AS p95
+    FROM documents GROUP BY source
+    """,
+    doc="Per-source exact length quantiles (linear interpolation), the "
+        "length-filter calibration stage of corpus curation. Exact "
+        "percentile is a sort-based agg — fine when groups fit a "
+        "partition (20 sources here); at 100 TB swap the same call "
+        "for approx_percentile(relativeError) which is a fixed-size "
+        "KLL-style sketch with map-side merge and NO per-group sort — "
+        "the query shape (groupBy source) is unchanged.",
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pcts = F.percentile("n_chars", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), pcts.alias("qs")
+    )
+    return agg.select(
+        "source", "n_docs",
+        F.round(F.col("qs")[0], 4).alias("p25"),
+        F.round(F.col("qs")[1], 4).alias("p50"),
+        F.round(F.col("qs")[2], 4).alias("p75"),
+        F.round(F.col("qs")[3], 4).alias("p95"),
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per packed sequence
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin,
+           CAST((cum - n_tokens) % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM c
+    """,
+    doc="Sequence packing for pretraining: concatenate each source's "
+        f"docs in doc_id order and chunk at {_PACK_BUDGET} tokens; "
+        "every doc gets (bin, bin_offset) = where its tokens land. "
+        "The running sum is a window partitioned BY SOURCE — there is "
+        "deliberately no global cumsum (that would serialize on one "
+        "partition at 100 TB); each source packs independently, which "
+        "is exactly how sharded pretraining-data writers pack (one "
+        "stream per shard). Skewed mega-sources re-shard by "
+        "(source, doc_id range) with the same window inside each "
+        "shard.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(D.tokens_col("text")).cast("long")
+    t = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(start / _PACK_BUDGET).alias("bin"),
+        (start % _PACK_BUDGET).alias("bin_offset"),
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10)
+               AS rate_pct,
+             CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, source, CAST(rate_pct AS BIGINT) AS rate_pct
+    FROM r WHERE bucket < rate_pct
+    """,
+    doc="Stratified deterministic downsampling: per-source keep-rate "
+        "(a function of the source id here; a broadcast config dim in "
+        "production), membership by content-hash bucket — "
+        "md5('sample|'+id) % 100 < rate. Pure scan-projection filter: "
+        "no shuffle, no RNG (rerunnable — the sample is a FUNCTION of "
+        "the id, stable across runs and across corpus growth, the "
+        "property random() sampling lacks). The mixture-weighting "
+        "counterpart of [[mixture_weights]].",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rate = (
+        10 + 4 * (F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 10)
+    ).alias("rate_pct")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", rate, bucket.alias("bucket"))
+        .filter(F.col("bucket") < F.col("rate_pct"))
+        .drop("bucket")
+    )
+
+
+@query(
+    "mixture_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST((SELECT MIN(n_tokens) FROM s) AS DOUBLE) / n_tokens, 6)
+             AS weight
+    FROM s
+    """,
+    doc="Source mixture weighting: per-source token totals and the "
+        "sampling weight that equalizes every source to the smallest "
+        "one (the uniform-mixture normalizer; real pipelines multiply "
+        "by a target-share vector). ONE corpus scan: two-level agg to "
+        "the sources-sized table, then the global min as a window "
+        "over that tiny set — the SinglePartition exchange moves one "
+        "row per source, never data rows (a crossJoin-with-agg "
+        "formulation would scan the corpus twice).",
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(D.tokens_col("text")).cast("long")).alias("n_tokens"),
+    )
+    min_tokens = F.min("n_tokens").over(W.partitionBy())
+    return s.select(
+        "source", "n_docs", "n_tokens",
+        F.round(min_tokens.cast("double") / F.col("n_tokens"), 6).alias("weight"),
+    )

@@ -78,6 +78,41 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     #  but they must never fall back to python)
     ("token_stats", [r"Project"],
      [r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"]),
+    # as-of join: the type filter reaches the scan, exactly ONE exchange
+    # (on user_id) feeds the window — no range cross-product, no python
+    ("asof_last_view",
+     [r"PushedFilters: \[.*In\(event_type", r"hashpartitioning\(user_id#\d+L, \d+\), ENSURE_REQUIREMENTS",
+      r"\(\d+\) Window"],
+     [r"NestedLoop|CartesianProduct|BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # decontamination: the candidate join keys on the md5 shingle (a
+    # broadcast at this SF; shuffle-hash on the hash key at scale) and
+    # no shuffle ever carries the text column
+    ("ngram_contamination",
+     [r"BroadcastHashJoin|SortMergeJoin", r"hashpartitioning\(s#\d+"],
+     [r"hashpartitioning\([^)]*text#", r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # vocabulary top-k: map-side partial counts + TakeOrderedAndProject
+    ("vocab_topk",
+     [r"partial_count", r"TakeOrderedAndProject"],
+     [r"\+- Sort .*global=true"]),
+    # exact quantiles: partial percentile buffers merge map-side; the
+    # scan reads only (source, n_chars)
+    ("length_quantiles",
+     [r"partial_percentile", r"ReadSchema: struct<source:string,n_chars:bigint>"],
+     []),
+    # packing: ONE exchange on the pack key (source), then sort+window
+    ("pack_sequences",
+     [r"hashpartitioning\(source#\d+, \d+\), ENSURE_REQUIREMENTS", r"\(\d+\) Window"],
+     [r"SinglePartition|BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # stratified sampling: scan-projection filter only — whole-stage
+    # codegen, zero exchanges, zero python
+    ("stratified_sample",
+     [r"Scan parquet"],
+     [r"Exchange|BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # mixture weights: ONE corpus scan (the global min comes from a
+    # window over the per-source agg, not a second aggregation scan)
+    ("mixture_weights",
+     [r"partial_sum", r"\(\d+\) Window"],
+     [r"(?s)\(\d+\) Scan parquet.*\(\d+\) Scan parquet", r"NestedLoop"]),
 ]
 
 
