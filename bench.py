@@ -45,6 +45,12 @@ HEADLINE = [
     "quality_score",
     "fingerprint_prefix",
     "ann_cosine_topk",
+    # round 2b additions (new operator families; earlier keys keep
+    # their round-over-round comparability)
+    "asof_last_view",
+    "ngram_contamination",
+    "vocab_topk",
+    "pack_sequences",
 ]
 
 
