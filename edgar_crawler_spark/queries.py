@@ -2064,3 +2064,197 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "n_tokens",
         F.round(min_tokens.cast("double") / F.col("n_tokens"), 6).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2c: mergeable sketches / grouping sets / pivot
+# ---------------------------------------------------------------------------
+
+_HLL_P = 9                # 2^9 = 512 registers
+_HLL_M = 1 << _HLL_P
+# alpha_m for m >= 128 (Flajolet et al. 2007). Computed ONCE in Python
+# and injected as a scientific-notation literal: decimal literals like
+# 0.7213 parse as DECIMAL (engine-specific scale rules) in both Spark
+# SQL and DuckDB, which drifts the last ulps; an e-notation literal is
+# a DOUBLE in both, so the constant is bit-identical.
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_ALPHA_EXPR = format(_HLL_ALPHA, ".20e")
+
+
+@query(
+    "hll_distinct",
+    oracle=f"""
+    WITH dt AS (
+      SELECT CAST(doc_id AS VARCHAR) || '|' || t AS t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    hashed AS (
+      SELECT t,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM dt),
+    rho AS (
+      SELECT h % {_HLL_M} AS bucket,
+             CASE WHEN h // {_HLL_M} = 0 THEN 52
+                  ELSE 52 - length(bin(h // {_HLL_M})) END AS rho
+      FROM hashed),
+    regs AS (
+      SELECT bucket, MAX(rho) AS reg FROM rho GROUP BY bucket),
+    s AS (
+      SELECT COUNT(*) AS n_present,
+             CAST(SUM(CAST(2 ** (52 - reg) AS BIGINT)) AS BIGINT) AS sum_present
+      FROM regs),
+    est AS (
+      SELECT n_present,
+             sum_present + ({_HLL_M} - n_present) * CAST(2 ** 52 AS BIGINT)
+               AS s_int,
+             {_HLL_M} - n_present AS v_zero
+      FROM s),
+    ex AS (SELECT COUNT(DISTINCT t) AS exact_distinct FROM dt)
+    SELECT CAST({_HLL_M} AS BIGINT) AS m,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(est.v_zero AS BIGINT) AS v_zero,
+           ROUND(({_HLL_ALPHA_EXPR}) * {_HLL_M} * {_HLL_M} * (2 ** 52)
+                 / est.s_int, 4) AS raw_est,
+           ROUND(CASE WHEN ({_HLL_ALPHA_EXPR}) * {_HLL_M} * {_HLL_M} * (2 ** 52)
+                           / est.s_int <= 2.5 * {_HLL_M}
+                       AND est.v_zero > 0
+                      THEN {_HLL_M} * ln({_HLL_M} * 1.0 / est.v_zero)
+                      ELSE ({_HLL_ALPHA_EXPR}) * {_HLL_M} * {_HLL_M} * (2 ** 52)
+                           / est.s_int END, 4) AS est
+    FROM est, ex
+    """,
+    doc="HyperLogLog distinct-count sketch, built from first "
+        "principles so both engines derive BIT-IDENTICAL registers: "
+        "h = 60-bit md5 prefix, bucket = h mod 512, rho = leading-"
+        "zero rank of the remaining 51 bits (integer-exact via "
+        "binary-string length, never float log2), registers = "
+        "max(rho) per bucket. The indicator sum is kept in INTEGER "
+        "space (each term 2^(52-rho) is an exact BIGINT), so the "
+        "estimate is order-independent — the float division happens "
+        "once, on identical integers. Includes the small-range "
+        "linear-counting correction and the exact distinct for "
+        "error reference. THE mergeable-sketch shape: at 100 TB "
+        "registers combine map-side (512 rows per partition max-"
+        "merged), a shuffle of KBs regardless of corpus size — this "
+        "is how distinct URLs / distinct tokens are counted on a "
+        "frontier too big for exact distinct.",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # distinct (doc, term) incidences — enough cardinality to exercise
+    # the raw HLL estimator (the tiny synthetic vocab alone would stay
+    # in the linear-counting branch)
+    dt = (
+        D.spread(docs)
+        .select(F.col("doc_id").cast("string").alias("d"),
+                F.explode(D.tokens_col("text")).alias("tok"))
+        .select(F.concat("d", F.lit("|"), "tok").alias("t"))
+    )
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    w = (F.col("h") / _HLL_M).cast("long")  # h // m (h >= 0)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(52)).otherwise(F.lit(52) - bitlen)
+    hashed = dt.select(h.alias("h")).select(
+        (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho")
+    )
+    regs = hashed.groupBy("bucket").agg(F.max("rho").alias("reg"))
+    term = F.pow(F.lit(2.0), F.lit(52) - F.col("reg")).cast("long")
+    s = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(term).alias("sum_present"),
+    ).select(
+        (F.col("sum_present")
+         + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(1 << 52)).alias("s_int"),
+        (F.lit(_HLL_M) - F.col("n_present")).alias("v_zero"),
+    )
+    ex = dt.agg(F.countDistinct("t").alias("exact_distinct"))
+    alpha = F.lit(_HLL_ALPHA)
+    raw = alpha * _HLL_M * _HLL_M * F.lit(float(1 << 52)) / F.col("s_int")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return s.crossJoin(F.broadcast(ex)).select(
+        F.lit(_HLL_M).cast("long").alias("m"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.col("v_zero").cast("long").alias("v_zero"),
+        F.round(raw, 4).alias("raw_est"),
+        F.round(est, 4).alias("est"),
+    )
+
+
+@query(
+    "cube_status_year",
+    oracle="""
+    SELECT COALESCE(status, 'ALL') AS status,
+           COALESCE(CAST(order_year AS VARCHAR), 'ALL') AS order_year,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM (SELECT o_orderstatus AS status,
+                 CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                 o_totalprice
+          FROM orders)
+    GROUP BY CUBE (status, order_year)
+    """,
+    doc="CUBE grouping sets (status × year, BOTH one-dimension "
+        "subtotals + grand total — the full lattice ROLLUP omits): "
+        "one pass, the engine's Expand operator replicates each row "
+        "into its 4 grouping sets before the partial agg, so the "
+        "shuffle still carries only group keys.",
+)
+def q_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_totalprice",
+    )
+    return (
+        base.cube("status", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("status", F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("order_year").cast("string"), F.lit("ALL")).alias(
+                "order_year"
+            ),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "pivot_status_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_p
+    FROM orders GROUP BY order_year
+    """,
+    doc="Pivot (long->wide): per-year counts spread across status "
+        "columns. The pivot values are ENUMERATED ('F','O','P'), so "
+        "Spark skips the distinct-values discovery job and compiles "
+        "to a single pass of conditional aggregates — same shuffle "
+        "as a plain groupBy(year).",
+)
+def q_pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").cast("long").alias("order_year"), "o_orderstatus")
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_year",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )

@@ -113,6 +113,22 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("mixture_weights",
      [r"partial_sum", r"\(\d+\) Window"],
      [r"(?s)\(\d+\) Scan parquet.*\(\d+\) Scan parquet", r"NestedLoop"]),
+    # HLL sketch: registers max-merge MAP-SIDE (partial_max), the
+    # register shuffle keys on the bucket (<= 512 rows per partition)
+    ("hll_distinct",
+     [r"partial_max", r"hashpartitioning\(bucket#\d+"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # CUBE: grouping sets via the Expand operator feeding ONE partial
+    # agg — no per-grouping-set rescan
+    ("cube_status_year",
+     [r"Expand", r"partial_count"],
+     [r"(?s)\(\d+\) Scan parquet.*\(\d+\) Scan parquet"]),
+    # pivot with enumerated values: single scan (no distinct-values
+    # discovery pass), conditional aggregates, no python
+    ("pivot_status_year",
+     [r"partial_count"],
+     [r"(?s)\(\d+\) Scan parquet.*\(\d+\) Scan parquet",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
