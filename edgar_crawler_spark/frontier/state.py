@@ -114,3 +114,66 @@ class SnapshotStore:
             if df is not None:
                 return df
         return None
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    store: SnapshotStore,
+    table: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Changelog between two committed snapshots of `table` — the
+    Iceberg `changelog` / CDC read: one row per changed key with
+    `_change` in {'insert', 'delete', 'update'}.
+
+    Implemented as a full-outer join ON THE KEYS with an md5 row
+    fingerprint comparing the non-key payload — the join carries
+    (keys, 16-byte hash), never the payload columns, so diffing two
+    10^10-row URL-seen snapshots shuffles keys+hashes only. Keys
+    present on one side only are inserts/deletes; both sides with a
+    differing fingerprint are updates. Unchanged keys are dropped
+    before the result materializes.
+
+    Mirrors the reference's rerun-and-compare idiom (the ledger CSV
+    rewritten each run) as an incremental read instead of a full
+    rescan.
+    """
+    from pyspark.sql import functions as F
+
+    old = store.read(spark, table, v_from)
+    new = store.read(spark, table, v_to)
+    if old is None or new is None:
+        raise ValueError(f"table {table!r} missing in v{v_from} or v{v_to}")
+    payload = [c for c in new.columns if c not in key_cols]
+    if sorted(old.columns) != sorted(new.columns):
+        raise ValueError("schema changed between snapshots")
+
+    def fp(df: DataFrame) -> DataFrame:
+        fcol = (
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload]))
+            if payload
+            else F.lit("")
+        )
+        return df.select(*key_cols, fcol.alias("_fp"))
+
+    o = fp(old).alias("o")
+    n = fp(new).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
+    joined = o.join(n, cond, "full_outer")
+    o_key0 = F.col(f"o.{key_cols[0]}")
+    n_key0 = F.col(f"n.{key_cols[0]}")
+    change = (
+        F.when(o_key0.isNull(), F.lit("insert"))
+        .when(n_key0.isNull(), F.lit("delete"))
+        .when(F.col("o._fp") != F.col("n._fp"), F.lit("update"))
+    )
+    keys_out = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key_cols
+    ]
+    return (
+        joined.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .select(*keys_out, "_change")
+    )

@@ -1,5 +1,6 @@
 from .jobs import (
     stream_dedup_docs,
+    stream_sessionize,
     stream_extract,
     stream_fetch_rate,
     stream_frontier_foreachbatch,
@@ -7,6 +8,7 @@ from .jobs import (
 
 __all__ = [
     "stream_dedup_docs",
+    "stream_sessionize",
     "stream_extract",
     "stream_fetch_rate",
     "stream_frontier_foreachbatch",

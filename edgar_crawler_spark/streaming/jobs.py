@@ -179,3 +179,46 @@ def stream_dedup_docs(
         .withWatermark("event_ts", watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
     )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization with dynamic-gap session windows.
+
+    The streaming dual of the batch `sessionize` query
+    (queries.py): per-user sessions close after `gap` of
+    inactivity, aggregated incrementally in the state store via
+    `F.session_window` — Spark merges overlapping window fragments
+    across micro-batches and EMITS a session only once the event-time
+    watermark passes its close (append mode), which is how a
+    production clickstream/crawl-log pipeline materializes sessions
+    exactly once without reprocessing.
+
+    State is bounded by the watermark horizon: a session older than
+    `watermark` can no longer absorb late events, so its state is
+    evicted on emission. At 100 TB of events the state store holds
+    only the OPEN sessions inside the horizon — shuffle and state key
+    on user_id, never on raw events.
+
+    `events` is a streaming DataFrame with (user_id, ts, event_type).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )

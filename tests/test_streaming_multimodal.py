@@ -175,3 +175,124 @@ class TestStreamDedup:
         assert kept_texts == ["alpha text", "beta text", "gamma text"]
         # exactly one survivor per hash
         assert len({r.text_hash for r in rows}) == len(rows) == 3
+
+
+class TestStreamSessionize:
+    def test_session_windows_emit_on_watermark(self, spark, tmp_path):
+        """Per-user session windows (30s gap) aggregate across
+        micro-batches and emit exactly once after the watermark
+        passes the session close."""
+        from datetime import datetime
+
+        from edgar_crawler_spark.streaming import stream_sessionize
+
+        src = str(tmp_path / "ev_src")
+        out = str(tmp_path / "ev_out")
+        ckpt = str(tmp_path / "ev_ckpt")
+        schema = "user_id long, ts timestamp, event_type string"
+
+        def ts(s_):
+            return datetime.fromisoformat(s_)
+
+        # user 1: two sessions (gap > 30s between them); user 2: one.
+        # batch file 1 = early events, batch file 2 = the tail of user
+        # 1's second session + a far-future sentinel that advances the
+        # watermark past every real session's close.
+        spark.createDataFrame(
+            [(1, ts("2024-01-01 00:00:00"), "view"),
+             (1, ts("2024-01-01 00:00:10"), "click"),
+             (2, ts("2024-01-01 00:00:05"), "view"),
+             (1, ts("2024-01-01 00:02:00"), "view")],
+            schema,
+        ).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(1, ts("2024-01-01 00:02:20"), "purchase"),
+             (99, ts("2024-01-01 02:00:00"), "sentinel")],
+            schema,
+        ).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # >= 2 micro-batches
+            .parquet(src)
+        )
+        q = (
+            stream_sessionize(stream, gap="30 seconds", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+        rows = spark.read.parquet(out).collect()
+        # user 1 session A: 2 events (00:00:00-00:00:10); session B: 2
+        # events (00:02:00-00:02:20, MERGED across the two batch
+        # files); user 2: 1 event. Sentinel session not yet emitted.
+        emitted = sorted(
+            (r.user_id, r.session_start.strftime("%H:%M:%S"), r.n_events)
+            for r in rows
+        )
+        assert emitted == [
+            (1, "00:00:00", 2),
+            (1, "00:02:00", 2),
+            (2, "00:00:05", 1),
+        ]
+        # session B absorbed the second batch file's event: it must
+        # close 30s after ITS last event, not after the first file's
+        b = [r for r in rows if r.user_id == 1 and r.n_events == 2
+             and r.session_start.strftime("%H:%M:%S") == "00:02:00"]
+        assert b[0].session_end.strftime("%H:%M:%S") == "00:02:50"
+
+
+class TestSnapshotDiff:
+    def test_changelog_between_versions(self, spark, tmp_path):
+        from edgar_crawler_spark.frontier.state import SnapshotStore, snapshot_diff
+
+        store = SnapshotStore(str(tmp_path / "snap"))
+        v1 = store.commit({
+            "t": spark.createDataFrame(
+                [("a", 1), ("b", 2), ("c", 3)], "k string, val int")
+        })
+        v2 = store.commit({
+            "t": spark.createDataFrame(
+                [("a", 1), ("b", 99), ("d", 4)], "k string, val int")
+        })
+        diff = snapshot_diff(spark, store, "t", v1, v2, ["k"])
+        got = {(r.k, r._change) for r in diff.collect()}
+        assert got == {("b", "update"), ("c", "delete"), ("d", "insert")}
+
+    def test_changelog_keys_only_no_payload_shuffle(self, spark, tmp_path):
+        """The diff plan shuffles (key, fingerprint) — the payload
+        column must not appear in any exchange."""
+        import io
+        from contextlib import redirect_stdout
+
+        from edgar_crawler_spark.frontier.state import SnapshotStore, snapshot_diff
+
+        store = SnapshotStore(str(tmp_path / "snap2"))
+        v1 = store.commit({
+            "t": spark.createDataFrame(
+                [(f"u{i}", "x" * 50, i) for i in range(200)],
+                "url string, payload string, n int")
+        })
+        v2 = store.commit({
+            "t": spark.createDataFrame(
+                [(f"u{i}", "x" * 50, i + (i % 7 == 0)) for i in range(150)],
+                "url string, payload string, n int")
+        })
+        diff = snapshot_diff(spark, store, "t", v1, v2, ["url"])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            diff.explain("formatted")
+        plan = buf.getvalue()
+        import re
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+            assert "payload" not in m.group(1)
+        # semantics: 50 deletes (u150..199) + updates where n changed
+        got = {r._change for r in diff.collect()}
+        assert got == {"delete", "update"}
+        assert diff.filter("_change = 'delete'").count() == 50
+        n_upd = sum(1 for i in range(150) if i % 7 == 0)
+        assert diff.filter("_change = 'update'").count() == n_upd
