@@ -37,6 +37,7 @@ COPIES = 10
 # (table, numeric id columns to offset, text column to perturb)
 TABLES = {
     "documents": (["doc_id"], "text"),
+    "events": (["event_id", "user_id"], None),
     "embeddings": (["vec_id"], None),
     "lineitem": (["l_orderkey"], None),
     "orders": (["o_orderkey"], None),
@@ -50,6 +51,11 @@ QUERY_SET = [
     "jaccard_bigram_pairs",
     "embedding_neardup",
     "ann_ivf_topk",
+    # round 2b/2c additions
+    "asof_last_view",
+    "ngram_contamination",
+    "vocab_topk",
+    "hll_distinct",
 ]
 
 
