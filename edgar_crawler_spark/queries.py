@@ -2258,3 +2258,40 @@ def q_pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("n_p"),
         )
     )
+
+
+@query(
+    "inverted_index",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t))
+    SELECT t AS token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM dt GROUP BY t
+    """,
+    doc="Inverted-index build (retrieval's first stage): per token, "
+        "the sorted posting list of documents containing it. "
+        "explode -> distinct -> collect_list, with the in-group sort "
+        "done by array_sort AFTER collection (never a global sort). "
+        "Postings ship as the comparison string for the oracle; the "
+        "array column is the real output. At 100 TB posting lists for "
+        "stopword-grade tokens are the classic skew — production "
+        "splits them into blocks (token, block_id) exactly like the "
+        "pack_sequences window; the aggregation itself stays "
+        "vocabulary-keyed and map-side partial.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dt = (
+        D.spread(docs)
+        .select("doc_id", F.explode(D.tokens_col("text")).alias("token"))
+        .distinct()
+    )
+    return dt.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings"),
+    )
