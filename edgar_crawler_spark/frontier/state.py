@@ -115,6 +115,44 @@ class SnapshotStore:
                 return df
         return None
 
+    # Superseded-state tables: each commit REPLACES these wholesale, so
+    # old copies only serve time travel. Append-log tables (pages,
+    # metrics) hold data that exists nowhere else and are never expired.
+    STATE_TABLES = ("frontier", "seen", "bloom", "company_info")
+
+    def expire_state(self, keep_last: int = 2) -> list[int]:
+        """Iceberg-style snapshot expiry: drop the superseded STATE
+        tables from all but the newest `keep_last` committed versions.
+
+        The append-only tables (pages, metrics) survive in every
+        version — they are the crawl's output log, unioned by
+        `CrawlJob.pages()`. Old manifests stay committed (the version
+        history is intact; a time-travel read of expired state returns
+        None, mirroring Iceberg's expire_snapshots). Resume semantics
+        are untouched because `_load_state`/`read_any` only ever read
+        the newest version carrying a table.
+
+        At 10^10 URLs the seen+bloom state is the dominant storage
+        cost per snapshot; without expiry a W-wave crawl stores W
+        copies. Returns the versions whose state was expired."""
+        vs = self.versions()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        expired: set[int] = set()
+        for t in self.STATE_TABLES:
+            # not every commit carries every state table (a requeue
+            # writes only frontier+seen; company_info rides wave
+            # commits) — keep the newest `keep_last` versions that
+            # actually CARRY this table, so read_any never loses it
+            carriers = [
+                v for v in vs
+                if os.path.isdir(os.path.join(self._vdir(v), t))
+            ]
+            for v in carriers[:-keep_last]:
+                shutil.rmtree(os.path.join(self._vdir(v), t))
+                expired.add(v)
+        return sorted(expired)
+
 
 def snapshot_diff(
     spark: SparkSession,

@@ -513,3 +513,54 @@ class TestSkewBalance:
         mean = 2000 / 16
         for b, c in counts.items():
             assert 0.6 * mean <= c <= 1.4 * mean, (b, c)
+
+
+class TestSnapshotExpiry:
+    def test_expire_state_keeps_pages_and_resume(self, spark, tmp_path):
+        """expire_state drops superseded frontier/seen/bloom copies
+        from old snapshots but (a) the pages log stays complete,
+        (b) the crawl resumes exactly, (c) per-table carriers are
+        respected so a sparse table (company_info) never vanishes."""
+        store = SnapshotStore(str(tmp_path / "sx"))
+        job = CrawlJob(
+            spark, store, n_buckets=4, wave_size=10,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+        )
+        n = 120
+        job.run(_frontier_df(spark, n), max_waves=2)  # seed + 2 waves
+        mid_pages = job.pages().count()
+        assert mid_pages == 80  # 2 waves x (10 per bucket x 4 buckets)
+        expired = store.expire_state(keep_last=1)
+        assert expired  # something actually expired
+        # newest state survives; resume finishes the crawl exactly
+        job2 = CrawlJob(
+            spark, store, n_buckets=4, wave_size=10,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+        )
+        res = job2.run()
+        pages = job2.pages()
+        assert pages.count() == n
+        assert pages.select("url").distinct().count() == n
+        # company_info still readable (sparse carrier preserved)
+        assert job2.company_info() is not None
+        # expired versions: state gone, pages (append log) intact
+        v0 = expired[0]
+        assert store.read(spark, "seen", v0) is None
+        if store.read(spark, "pages", v0) is not None:
+            assert store.read(spark, "pages", v0).count() > 0
+
+    def test_expire_respects_sparse_carriers(self, spark, tmp_path):
+        """A table carried only by OLD versions keeps its newest
+        carrier even when that version's other state expires."""
+        store = SnapshotStore(str(tmp_path / "sy"))
+        df = spark.range(3).selectExpr("cast(id as string) AS url")
+        dim = spark.range(2).selectExpr("id AS cik", "'x' AS name")
+        store.commit({"seen": df, "company_info": dim})   # v1
+        store.commit({"seen": df})                        # v2
+        store.commit({"seen": df})                        # v3
+        expired = store.expire_state(keep_last=1)
+        assert sorted(expired) == [1, 2]
+        # v1's seen expired, but v1's company_info is its newest
+        # carrier and MUST survive
+        assert store.read(spark, "seen", 1) is None
+        assert store.read_any(spark, "company_info").count() == 2
