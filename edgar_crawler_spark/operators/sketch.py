@@ -1,0 +1,102 @@
+"""Mergeable sketches: HyperLogLog distinct counting.
+
+Built from first principles (Flajolet et al. 2007) so that any two
+engines — or any two PARTITIONS — derive bit-identical registers from
+the same values:
+
+  h      = 60-bit md5 prefix of the value (15 hex chars, fits BIGINT)
+  bucket = h mod m          (m = 2^p registers)
+  rho    = leading-zero rank of the remaining 51 bits + 1, computed
+           INTEGER-EXACTLY as 52 - bitlen(h div m) via the length of
+           the base-2 string (never float log2, whose edge cases at
+           powers of two differ across libms)
+  M[b]   = max(rho) over values in bucket b
+
+Registers are the mergeable state: max() is associative/commutative/
+idempotent, so partial registers combine map-side and ACROSS datasets
+— union-then-sketch equals sketch-then-max-merge (property-tested).
+The indicator sum for the estimate stays in integer space (each term
+2^(52-rho) is an exact BIGINT), making the estimate independent of
+partition order; the only float ops are the final division and the
+small-range ln correction.
+
+At 100 TB: the register table is m rows regardless of corpus size —
+a shuffle of KBs — which is how distinct URLs are counted on a
+10^10-URL frontier where exact distinct is a full shuffle of the key
+space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 9                 # registers = 2^9 = 512
+HLL_M = 1 << HLL_P
+# alpha_m for m >= 128; computed once in Python so the double constant
+# is identical wherever it is re-used (decimal SQL literals parse as
+# DECIMAL with engine-specific scales — see queries.py).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_registers(values: DataFrame, col: str = "t") -> DataFrame:
+    """(bucket, reg) registers of the HLL sketch of `values[col]`.
+    Map-side partial max; at most HLL_M rows out."""
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    w = (F.col("h") / HLL_M).cast("long")  # h // m (h >= 0)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(52)).otherwise(F.lit(52) - bitlen)
+    hashed = values.select(h.alias("h")).select(
+        (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho")
+    )
+    return hashed.groupBy("bucket").agg(F.max("rho").alias("reg"))
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Max-merge register tables — the sketch of the UNION of the
+    underlying datasets, without revisiting them."""
+    out = register_sets[0]
+    for r in register_sets[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate_cols(regs: DataFrame) -> DataFrame:
+    """One row: (v_zero, s_int, raw_est, est) from a register table.
+    s_int is the integer indicator sum scaled by 2^52 (exact)."""
+    term = F.pow(F.lit(2.0), F.lit(52) - F.col("reg")).cast("long")
+    s = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(term).alias("sum_present"),
+    ).select(
+        (F.col("sum_present")
+         + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << 52)).alias("s_int"),
+        (F.lit(HLL_M) - F.col("n_present")).alias("v_zero"),
+    )
+    raw = (
+        F.lit(HLL_ALPHA) * HLL_M * HLL_M * F.lit(float(1 << 52)) / F.col("s_int")
+    )
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return s.select(
+        F.col("v_zero").cast("long").alias("v_zero"),
+        "s_int",
+        F.round(raw, 4).alias("raw_est"),
+        F.round(est, 4).alias("est"),
+    )
+
+
+def hll_registers_py(values: list[str]) -> dict[int, int]:
+    """Pure-Python mirror of hll_registers — the in-process oracle for
+    property tests."""
+    import hashlib
+
+    regs: dict[int, int] = {}
+    for v in values:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        bucket, w = h % HLL_M, h // HLL_M
+        rho = 52 if w == 0 else 52 - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs

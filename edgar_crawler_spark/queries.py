@@ -36,6 +36,7 @@ from . import macrodiscl as MD
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import similarity as S
+from .operators import sketch as SK
 from .tables import load_table
 
 
@@ -2070,14 +2071,14 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 2c: mergeable sketches / grouping sets / pivot
 # ---------------------------------------------------------------------------
 
-_HLL_P = 9                # 2^9 = 512 registers
-_HLL_M = 1 << _HLL_P
+_HLL_P = SK.HLL_P
+_HLL_M = SK.HLL_M
 # alpha_m for m >= 128 (Flajolet et al. 2007). Computed ONCE in Python
 # and injected as a scientific-notation literal: decimal literals like
 # 0.7213 parse as DECIMAL (engine-specific scale rules) in both Spark
 # SQL and DuckDB, which drifts the last ulps; an e-notation literal is
 # a DOUBLE in both, so the constant is bit-identical.
-_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_ALPHA = SK.HLL_ALPHA
 _HLL_ALPHA_EXPR = format(_HLL_ALPHA, ".20e")
 
 
@@ -2151,36 +2152,15 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.explode(D.tokens_col("text")).alias("tok"))
         .select(F.concat("d", F.lit("|"), "tok").alias("t"))
     )
-    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
-    w = (F.col("h") / _HLL_M).cast("long")  # h // m (h >= 0)
-    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
-    rho = F.when(w == 0, F.lit(52)).otherwise(F.lit(52) - bitlen)
-    hashed = dt.select(h.alias("h")).select(
-        (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho")
-    )
-    regs = hashed.groupBy("bucket").agg(F.max("rho").alias("reg"))
-    term = F.pow(F.lit(2.0), F.lit(52) - F.col("reg")).cast("long")
-    s = regs.agg(
-        F.count(F.lit(1)).alias("n_present"),
-        F.sum(term).alias("sum_present"),
-    ).select(
-        (F.col("sum_present")
-         + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(1 << 52)).alias("s_int"),
-        (F.lit(_HLL_M) - F.col("n_present")).alias("v_zero"),
-    )
+    regs = SK.hll_registers(dt, "t")
+    s = SK.hll_estimate_cols(regs)
     ex = dt.agg(F.countDistinct("t").alias("exact_distinct"))
-    alpha = F.lit(_HLL_ALPHA)
-    raw = alpha * _HLL_M * _HLL_M * F.lit(float(1 << 52)) / F.col("s_int")
-    est = F.when(
-        (raw <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
-    ).otherwise(raw)
     return s.crossJoin(F.broadcast(ex)).select(
         F.lit(_HLL_M).cast("long").alias("m"),
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
-        F.col("v_zero").cast("long").alias("v_zero"),
-        F.round(raw, 4).alias("raw_est"),
-        F.round(est, 4).alias("est"),
+        "v_zero",
+        "raw_est",
+        "est",
     )
 
 

@@ -1,0 +1,188 @@
+"""Randomized brute-force checks for the round-2 analytics operators.
+
+Each test builds seeded random inputs (adversarial shapes included:
+timestamp ties, empty groups, hot keys) and compares the distributed
+operator against an in-process Python oracle — independent of the
+DuckDB harness, and covering input space the synthetic tables don't.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from edgar_crawler_spark.operators import sketch as SK
+
+
+class TestAsofBruteForce:
+    def test_matches_python_oracle_with_ties(self, spark):
+        rng = random.Random(7)
+        rows = []
+        eid = 0
+        for _ in range(600):
+            uid = rng.randrange(12)
+            # coarse integer seconds => deliberate same-instant ties
+            sec = rng.randrange(50)
+            etype = rng.choice(["view", "purchase", "error"])
+            rows.append((eid, uid, sec, etype))
+            eid += 1
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(e, u, base + dt.timedelta(seconds=s), t) for e, u, s, t in rows],
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+        # the operator under test (same shape as q_asof_last_view)
+        ev = df.filter(F.col("event_type").isin("view", "purchase")).select(
+            "event_id", "user_id", "ts", "event_type",
+            F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+        )
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_type").desc(),
+                     F.col("event_id").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        got = {
+            r.event_id: r.last_view_us
+            for r in ev.withColumn(
+                "last_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+            )
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                F.unix_micros(F.col("last_view_ts").cast("timestamp")).alias(
+                    "last_view_us"
+                ),
+            )
+            .collect()
+        }
+        # brute force: max view second <= purchase second per user
+        views = {}
+        for e, u, s, t in rows:
+            if t == "view":
+                views.setdefault(u, []).append(s)
+        for e, u, s, t in rows:
+            if t != "purchase":
+                continue
+            cands = [v for v in views.get(u, []) if v <= s]
+            want = max(cands) if cands else None
+            got_us = got[e]
+            got_sec = None if got_us is None else (got_us // 1_000_000) % 86400
+            want_sec = None if want is None else want
+            base_us = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+            if want is not None:
+                want_sec = (base_us + want) % 86400
+                got_sec = (got_us // 1_000_000) % 86400
+            assert (got_us is None) == (want is None), (e, u, s)
+            if want is not None:
+                assert got_sec == want_sec, (e, u, s, got_sec, want_sec)
+
+
+class TestHllProperties:
+    def _values(self, seed: int, n: int) -> list[str]:
+        rng = random.Random(seed)
+        return [f"v{rng.randrange(10**9)}" for _ in range(n)]
+
+    def test_registers_match_python_oracle(self, spark):
+        vals = self._values(1, 3000)
+        df = spark.createDataFrame([(v,) for v in vals], "t string")
+        got = {r.bucket: r.reg for r in SK.hll_registers(df, "t").collect()}
+        assert got == SK.hll_registers_py(vals)
+
+    def test_merge_equals_union(self, spark):
+        """sketch(A) max-merge sketch(B) == sketch(A ∪ B) — the
+        property that lets registers combine map-side and across
+        datasets without revisiting rows."""
+        a = self._values(2, 2000)
+        b = self._values(3, 2500)  # overlapping value space
+        da = spark.createDataFrame([(v,) for v in a], "t string")
+        db = spark.createDataFrame([(v,) for v in b], "t string")
+        dab = spark.createDataFrame([(v,) for v in a + b], "t string")
+        merged = {
+            r.bucket: r.reg
+            for r in SK.hll_merge(
+                SK.hll_registers(da, "t"), SK.hll_registers(db, "t")
+            ).collect()
+        }
+        direct = {
+            r.bucket: r.reg for r in SK.hll_registers(dab, "t").collect()
+        }
+        assert merged == direct
+
+    def test_estimate_error_bound(self, spark):
+        """Error within 5 standard errors (sigma = 1.04/sqrt(m)) for a
+        range of cardinalities across both estimator branches."""
+        import math
+
+        sigma = 1.04 / math.sqrt(SK.HLL_M)
+        for seed, n in [(4, 200), (5, 2000), (6, 20000)]:
+            vals = list(set(self._values(seed, n)))
+            df = spark.createDataFrame([(v,) for v in vals], "t string")
+            est = SK.hll_estimate_cols(SK.hll_registers(df, "t")).collect()[0].est
+            assert abs(est - len(vals)) / len(vals) < 5 * sigma, (n, est, len(vals))
+
+
+class TestSnapshotDiffBruteForce:
+    def test_random_tables(self, spark, tmp_path):
+        from edgar_crawler_spark.frontier.state import SnapshotStore, snapshot_diff
+
+        rng = random.Random(11)
+        keys = [f"k{i}" for i in range(300)]
+        old = {k: rng.randrange(5) for k in rng.sample(keys, 200)}
+        new = {k: rng.randrange(5) for k in rng.sample(keys, 220)}
+        store = SnapshotStore(str(tmp_path / "sd"))
+        v1 = store.commit({
+            "t": spark.createDataFrame(list(old.items()), "k string, v int")
+        })
+        v2 = store.commit({
+            "t": spark.createDataFrame(list(new.items()), "k string, v int")
+        })
+        got = {(r.k, r._change)
+               for r in snapshot_diff(spark, store, "t", v1, v2, ["k"]).collect()}
+        want = set()
+        for k in set(old) | set(new):
+            if k not in old:
+                want.add((k, "insert"))
+            elif k not in new:
+                want.add((k, "delete"))
+            elif old[k] != new[k]:
+                want.add((k, "update"))
+        assert got == want
+
+
+class TestPackingInvariants:
+    def test_offsets_and_bins_contiguous(self, spark):
+        """pack_sequences invariants on random inputs: per source,
+        (bin, bin_offset) equals the running-sum packing of docs in
+        doc_id order; offsets stay < budget."""
+        from edgar_crawler_spark.queries import QUERIES, _PACK_BUDGET
+
+        # randomized table via a temp parquet dir shaped like documents
+        rng = random.Random(13)
+        import tempfile
+
+        rows = []
+        for i in range(400):
+            n_words = rng.randrange(0, 900)
+            rows.append((i, " ".join("w%d" % rng.randrange(50) for _ in range(n_words)),
+                         "en", f"s{rng.randrange(4)}", n_words))
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).write.parquet(f"{d}/documents.parquet")
+            out = QUERIES["pack_sequences"].fn(spark, d).collect()
+        got = {r.doc_id: (r.source, r.n_tokens, r.bin, r.bin_offset) for r in out}
+        cum: dict[str, int] = {}
+        for i, text, _, src, _ in sorted(rows):
+            n_tok = len([t for t in text.split() if t])
+            start = cum.get(src, 0)
+            assert got[i] == (src, n_tok, start // _PACK_BUDGET,
+                              start % _PACK_BUDGET), i
+            assert got[i][3] < _PACK_BUDGET
+            cum[src] = start + n_tok
