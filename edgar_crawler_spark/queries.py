@@ -1842,20 +1842,33 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = D.spread(docs).select(
         "doc_id", pct.alias("pct"), D.tokens_col("text").alias("w")
-    ).filter(F.size("w") >= _CONTAM_N)
+    )
     shingle = F.transform(
         F.sequence(F.lit(0), F.size("w") - _CONTAM_N),
         lambda i: F.md5(F.array_join(F.slice("w", i + 1, _CONTAM_N), " ")),
     )
-    sh = toks.select("doc_id", "pct", F.array_distinct(shingle).alias("shs"))
+    # short docs map to NULL (not an empty array) and explode_OUTER +
+    # isNotNull drops them AFTER the generate: a plain explode would
+    # let Catalyst push a `size(shs) > 0` filter below the exchange,
+    # re-evaluating the whole shingle expression at the scan — 5× the
+    # runtime of this shape (measured at sf0.1).
+    sh = toks.select(
+        "doc_id", "pct",
+        F.array_distinct(
+            F.when(F.size("w") >= _CONTAM_N, shingle)
+        ).alias("shs"),
+    )
     train_sh = (
         sh.filter(F.col("pct") < 90)
-        .select(F.explode("shs").alias("s"))
+        .select(F.explode_outer("shs").alias("s"))
+        .filter(F.col("s").isNotNull())
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    eval_sh = sh.filter(F.col("pct") >= 95).select(
-        "doc_id", F.explode("shs").alias("s")
+    eval_sh = (
+        sh.filter(F.col("pct") >= 95)
+        .select("doc_id", F.explode_outer("shs").alias("s"))
+        .filter(F.col("s").isNotNull())
     )
     return (
         eval_sh.join(train_sh, "s", "left")
