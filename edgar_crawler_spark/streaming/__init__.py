@@ -1,4 +1,5 @@
 from .jobs import (
+    stream_attribution,
     stream_dedup_docs,
     stream_sessionize,
     stream_extract,
@@ -7,6 +8,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "stream_attribution",
     "stream_dedup_docs",
     "stream_sessionize",
     "stream_extract",

@@ -222,3 +222,45 @@ def stream_sessionize(
             "last_ts",
         )
     )
+
+
+def stream_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 seconds",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every
+    view by the same user within `horizon` BEFORE it.
+
+    The streaming counterpart of the batch as-of join
+    (queries.py:q_asof_last_view) when BOTH sides arrive as streams: a
+    view is buffered in the join state store only until the watermark
+    passes `ts + horizon` — the event-time range condition is what
+    lets Spark bound and evict state, which is the difference between
+    a stream-stream join that runs forever at web scale and one whose
+    state grows without bound. Shuffle/state key is user_id on both
+    sides; late events inside the watermark still match.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        v,
+        F.expr(
+            "v_user = p_user AND "
+            "view_ts <= purchase_ts AND "
+            f"view_ts >= purchase_ts - INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id", "purchase_ts", "view_id", "view_ts",
+    )

@@ -296,3 +296,75 @@ class TestSnapshotDiff:
         assert diff.filter("_change = 'delete'").count() == 50
         n_upd = sum(1 for i in range(150) if i % 7 == 0)
         assert diff.filter("_change = 'update'").count() == n_upd
+
+
+class TestStreamAttribution:
+    def test_interval_join_across_batches(self, spark, tmp_path):
+        """Purchases match views of the same user within the 30s
+        horizon — including a view and purchase arriving in DIFFERENT
+        micro-batches (the state-store path)."""
+        from datetime import datetime
+
+        from edgar_crawler_spark.streaming import stream_attribution
+
+        vdir = str(tmp_path / "views")
+        pdir = str(tmp_path / "purch")
+        out = str(tmp_path / "attr_out")
+        ckpt = str(tmp_path / "attr_ckpt")
+        schema = "event_id long, user_id long, ts timestamp"
+
+        def ts(s_):
+            return datetime.fromisoformat(s_)
+
+        # views batch 1
+        spark.createDataFrame(
+            [(10, 1, ts("2024-01-01 00:00:00")),   # in horizon of p100
+             (11, 1, ts("2024-01-01 00:05:00")),   # own session, no purchase
+             (12, 2, ts("2024-01-01 00:00:05"))],  # user 2
+            schema,
+        ).write.mode("append").parquet(vdir)
+        # purchases arrive in a separate stream; p100 is 20s after view
+        # 10 (match), p101 is 45s after view 12 (outside horizon),
+        # p102 matches nothing (user 3)
+        spark.createDataFrame(
+            [(100, 1, ts("2024-01-01 00:00:20")),
+             (101, 2, ts("2024-01-01 00:00:50")),
+             (102, 3, ts("2024-01-01 00:00:10"))],
+            schema,
+        ).write.mode("append").parquet(pdir)
+        # batch-2 files: a second view+purchase pair for user 2 that
+        # must join across batch boundaries, plus watermark movers
+        spark.createDataFrame(
+            [(13, 2, ts("2024-01-01 00:01:00")),
+             (14, 9, ts("2024-01-01 01:00:00"))],  # watermark mover
+            schema,
+        ).write.mode("append").parquet(vdir)
+        spark.createDataFrame(
+            [(103, 2, ts("2024-01-01 00:01:10")),
+             (104, 9, ts("2024-01-01 01:00:01"))],
+            schema,
+        ).write.mode("append").parquet(pdir)
+
+        views = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(vdir)
+        )
+        purchases = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(pdir)
+        )
+        q = (
+            stream_attribution(views, purchases, horizon="30 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+        got = {(r.purchase_id, r.view_id)
+               for r in spark.read.parquet(out).collect()}
+        assert got == {(100, 10), (103, 13), (104, 14)}
