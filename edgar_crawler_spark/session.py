@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.python.worker.reuse", "true")
         # Deterministic hashing inside python workers (anchor_hash etc.).
         .config("spark.executorEnv.PYTHONHASHSEED", "0")
+        # Python DataSource connectors (sources/pyds.py) handle their
+        # own predicate pushdown.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,83 @@
+"""Custom Python DataSource (Spark 4 API): EDGAR index connector with
+partition planning + filter pushdown (sources/pyds.py)."""
+
+from __future__ import annotations
+
+import io
+import random
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from edgar_crawler_spark.sources.pyds import EdgarIndexDataSource
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(EdgarIndexDataSource)
+    return spark
+
+
+def _load(spark, quarters="2020Q1,2020Q2", n=200, seed=7):
+    return (
+        spark.read.format("edgar_index")
+        .option("seed", seed)
+        .option("rows_per_quarter", n)
+        .option("quarters", quarters)
+        .load()
+    )
+
+
+class TestEdgarIndexDataSource:
+    def test_deterministic_rows_and_partitioning(self, registered):
+        spark = registered
+        df = _load(spark, "2020Q1,2020Q2,2021Q1", n=150)
+        assert df.count() == 450
+        # one input split per quarter
+        assert df.rdd.getNumPartitions() == 3
+        # deterministic: same options -> identical content
+        a = sorted(map(tuple, df.collect()))
+        b = sorted(map(tuple, _load(spark, "2020Q1,2020Q2,2021Q1", n=150).collect()))
+        assert a == b
+        # reference link semantics: html_index = .txt -> -index.html
+        r = df.first()
+        assert r.complete_text_file_link.startswith(
+            "https://www.sec.gov/Archives/edgar/data/"
+        )
+        assert r.html_index == r.complete_text_file_link[: -len(".txt")] + "-index.html"
+
+    def test_filter_pushdown_type(self, registered):
+        spark = registered
+        df = _load(spark).filter(F.col("type") == "8-K")
+        rows = df.collect()
+        assert rows and all(r.type == "8-K" for r in rows)
+        # the python mirror of the generator agrees exactly
+        want = 0
+        for y, q in [(2020, 1), (2020, 2)]:
+            rng = random.Random(7 * 10_000 + y * 10 + q)
+            for i in range(200):
+                rng.randint(1000, 9999999)
+                form = rng.choice(["8-K", "10-K", "10-Q", "4", "S-1"])
+                rng.randint(1, 28)
+                rng.randint(1, 3)
+                if form == "8-K":
+                    want += 1
+        assert len(rows) == want
+
+    def test_quarter_pruning_drops_partitions(self, registered):
+        spark = registered
+        df = _load(spark, "2020Q1,2020Q2,2021Q1", n=100).filter(
+            (F.col("year") == 2020) & (F.col("quarter") == 2)
+        )
+        assert df.count() == 100
+        assert set((r.year, r.quarter) for r in df.collect()) == {(2020, 2)}
+
+    def test_unsupported_filter_still_correct(self, registered):
+        spark = registered
+        # company LIKE is not pushed; Spark must evaluate it post-scan
+        df = _load(spark).filter(F.col("company").startswith("COMPANY 1"))
+        rows = df.collect()
+        assert all(r.company.startswith("COMPANY 1") for r in rows)
+        total = _load(spark).count()
+        assert 0 < len(rows) < total
