@@ -2288,3 +2288,84 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
         F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings"),
     )
+
+
+@query(
+    "props_json_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN CAST(props->>'k' AS BIGINT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           ROUND(AVG(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+           CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured payload analytics: the events.props JSON "
+        "column parsed with a TYPED from_json schema (not per-row "
+        "Python, not schema_of_json inference at runtime), then "
+        "aggregated. At 100 TB the parse runs in the scan projection "
+        "and only the extracted numeric rides the shuffle; a "
+        "production pipeline promotes hot JSON fields to columns "
+        "exactly through this query shape.",
+)
+def q_props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "entity_fuzzy_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+      FROM customer)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Entity-resolution fuzzy join: candidate pairs blocked on a "
+        "16-char name prefix (high-cardinality equi-join key — the "
+        "same bounded-block discipline as the LSH dedup queries, "
+        "never an all-pairs cross join), verified with edit distance "
+        "inside each block. Levenshtein runs JVM-side (native "
+        "expression) on O(block²) candidates only; at 100 TB the "
+        "blocking key swaps for phonetic/q-gram keys but the plan "
+        "shape — equi-join on the block, scalar verify after — is "
+        "identical.",
+)
+def q_entity_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 1)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )
