@@ -2369,3 +2369,50 @@ def q_entity_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("dist"),
         )
     )
+
+
+@query(
+    "sliding_event_rate",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL 30 MINUTE,
+                         ts - INTERVAL (s.off) MINUTE)
+               + INTERVAL (s.off) MINUTE AS win_start
+      FROM events, (SELECT UNNEST([0, 15]) AS off) s
+      WHERE ts >= time_bucket(INTERVAL 30 MINUTE,
+                              ts - INTERVAL (s.off) MINUTE)
+                  + INTERVAL (s.off) MINUTE)
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM w
+    GROUP BY win_start, event_type
+    """,
+    doc="Sliding-window event rates (30-minute windows, 15-minute "
+        "slide) — the batch form of the crawl-metrics dashboards "
+        "(streaming dual: stream_fetch_rate). Spark's window() "
+        "expands each event into its ⌈window/slide⌉ = 2 covering "
+        "windows BEFORE the partial agg (an Expand, same machinery "
+        "as CUBE), so the shuffle carries (window, type) partial "
+        "sums, never events. DuckDB oracle: two offset time_buckets "
+        "unioned — the same two-cover expansion spelled out.",
+)
+def q_sliding_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
