@@ -2416,3 +2416,140 @@ def q_sliding_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    pairs AS (
+      SELECT w[i] AS left_sym, w[i+1] AS right_sym
+      FROM w, UNNEST(generate_series(1, len(w) - 1)) AS g(i))
+    SELECT left_sym, right_sym, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    GROUP BY left_sym, right_sym
+    ORDER BY n_pairs DESC, left_sym ASC, right_sym ASC
+    LIMIT 50
+    """,
+    doc="BPE merge-candidate counting — the inner loop of tokenizer "
+        "training at corpus scale: adjacent-symbol pair frequencies, "
+        "most-frequent pair first (deterministic tie order). One "
+        "explode of zipped neighbors, two-level count (shuffle is "
+        "pair-vocabulary-sized), TakeOrderedAndProject cut. A full "
+        "BPE trainer iterates this query with a merge applied between "
+        "rounds — each round is this exact plan.",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = D.tokens_col("text")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    )
+    dt = (
+        D.spread(docs)
+        .select(F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
+    )
+    return (
+        dt.groupBy("left_sym", "right_sym")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(50)
+    )
+
+
+@query(
+    "unigram_xent",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    tot AS (SELECT COUNT(*) AS n_total FROM dt),
+    lm AS (
+      SELECT t, ln(COUNT(*) * 1.0 / (SELECT n_total FROM tot)) AS logp
+      FROM dt GROUP BY t)
+    SELECT dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-AVG(lm.logp), 4) AS xent
+    FROM dt JOIN lm ON dt.t = lm.t
+    GROUP BY dt.doc_id
+    """,
+    doc="Per-document cross-entropy under the corpus unigram LM — the "
+        "perplexity-style quality filter (CCNet's methodology, with "
+        "the LM trained on the corpus itself): pass 1 aggregates the "
+        "unigram distribution (vocabulary-sized), pass 2 broadcasts "
+        "it back and averages -log p per doc. Low xent = boilerplate "
+        "(tokens the corpus over-represents); high xent = noise. "
+        "Same two-pass broadcast shape as idf_doc_score.",
+)
+def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dt = (
+        D.spread(docs)
+        .select("doc_id", F.explode(D.tokens_col("text")).alias("t"))
+        .cache()
+    )
+    n_total = dt.count()
+    lm = dt.groupBy("t").agg(
+        F.log(F.count(F.lit(1)) / F.lit(float(n_total))).alias("logp")
+    )
+    return (
+        dt.join(F.broadcast(lm), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("xent"),
+        )
+    )
+
+
+@query(
+    "dq_profile",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_custkey,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS distinct_orderkey,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonpos_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+    FROM orders
+    """,
+    doc="One-pass data-quality profile (Deequ-style expectations "
+        "computed as ONE aggregation job, not one scan per check): "
+        "row count, null counts, key uniqueness, domain violations, "
+        "range bounds. Every check is an algebraic aggregate, so the "
+        "whole profile map-side-combines into a single row per "
+        "partition — the standard pre-ingest gate before a corpus "
+        "lands in the training tables.",
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        F.countDistinct("o_orderkey").alias("distinct_orderkey"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpos_price"
+        ),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+    )
