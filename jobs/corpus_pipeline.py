@@ -9,8 +9,14 @@ program so Catalyst sees the whole plan:
                         keep the canonical doc per cluster
   3. quality filter     token stats + repetition ratio + language-ID
                         (thresholds are CLI flags)
-  4. split + write      consistent md5 hash split → train/validation/
-                        test parquet, partitioned by split
+  4. split             consistent md5 hash split → train/validation/
+                        test assignment
+  5. decontamination    train docs sharing any 5-token shingle with a
+                        held-out doc are DROPPED from train (the
+                        GPT-3/PaLM-report eval-hygiene pass)
+  6. pack + write       per-(split, source-free) token-budget sequence
+                        packing (bin, bin_offset), then parquet
+                        partitioned by split
 
 Launch:
 
@@ -19,7 +25,7 @@ Launch:
         jobs/corpus_pipeline.py \\
         --docs /data/documents.parquet --out /data/corpus \\
         [--min-tokens 5] [--max-dup-ratio 0.5] [--lang en] \\
-        [--jaccard 0.8]
+        [--jaccard 0.8] [--contam-ngram 5] [--pack-budget 2048]
 
 Scale notes: stages 1-2 shuffle hashes and ids, never text; the
 near-dup component join keys on LSH band buckets; the final write is
@@ -50,6 +56,8 @@ def build_corpus(
     max_dup_ratio: float = 0.5,
     lang: str | None = None,
     jaccard_threshold: float = 0.8,
+    contam_ngram: int = 5,
+    pack_budget: int = 2048,
 ) -> DataFrame:
     """Returns (doc_id, text, lang, split) — the surviving corpus with
     its split assignment. Pure DataFrame composition; nothing is
@@ -100,7 +108,63 @@ def build_corpus(
         .when(pct < 95, F.lit("validation"))
         .otherwise(F.lit("test"))
     )
-    return filtered.select("doc_id", "text", "lang", split.alias("split"))
+    assigned = filtered.select("doc_id", "text", "lang", split.alias("split"))
+
+    # 5. decontamination: a TRAIN doc sharing any `contam_ngram`-token
+    # shingle with any held-out (validation/test) doc leaks eval data
+    # into training — drop it. Shingles are md5-hashed before the
+    # join: the shuffle carries 16-byte keys, never text.
+    if contam_ngram:
+        w = D.tokens_col("text")
+        shingle = F.transform(
+            F.sequence(F.lit(0), F.size(w) - contam_ngram),
+            lambda i: F.md5(F.array_join(F.slice(w, i + 1, contam_ngram), " ")),
+        )
+        sh = assigned.select(
+            "doc_id", "split",
+            F.array_distinct(
+                F.when(F.size(w) >= contam_ngram, shingle)
+            ).alias("_shs"),
+        )
+        held_sh = (
+            sh.filter(F.col("split") != "train")
+            .select(F.explode_outer("_shs").alias("_s"))
+            .filter(F.col("_s").isNotNull())
+            .distinct()
+        )
+        dirty_train = (
+            sh.filter(F.col("split") == "train")
+            .select("doc_id", F.explode_outer("_shs").alias("_s"))
+            .join(held_sh, "_s", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        assigned = assigned.join(dirty_train, "doc_id", "left_anti")
+
+    # 6. sequence packing: within each split, concatenate docs in
+    # doc_id order and chunk at `pack_budget` tokens — every doc gets
+    # (bin, bin_offset), the address of its tokens in the packed
+    # stream. Window partitions by split (never a global cumsum).
+    if pack_budget:
+        from pyspark.sql import Window as W
+
+        n_tokens = F.size(D.tokens_col("text")).cast("long")
+        win = (
+            W.partitionBy("split")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        assigned = (
+            assigned.withColumn("_n", n_tokens)
+            .withColumn("_cum", F.sum("_n").over(win))
+            .select(
+                "doc_id", "text", "lang", "split",
+                F.col("_n").alias("n_tokens"),
+                F.floor((F.col("_cum") - F.col("_n")) / pack_budget).alias("bin"),
+                ((F.col("_cum") - F.col("_n")) % pack_budget).alias("bin_offset"),
+            )
+        )
+    return assigned
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -111,6 +175,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-dup-ratio", type=float, default=0.5)
     p.add_argument("--lang", default=None)
     p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--contam-ngram", type=int, default=5,
+                   help="0 disables decontamination")
+    p.add_argument("--pack-budget", type=int, default=2048,
+                   help="0 disables sequence packing")
     args = p.parse_args(argv)
 
     builder = SparkSession.builder.appName("corpus-pipeline")
@@ -125,6 +193,8 @@ def main(argv: list[str] | None = None) -> int:
         max_dup_ratio=args.max_dup_ratio,
         lang=args.lang,
         jaccard_threshold=args.jaccard,
+        contam_ngram=args.contam_ngram,
+        pack_budget=args.pack_budget,
     )
     (
         corpus.write.mode("overwrite")

@@ -60,3 +60,47 @@ class TestBuildCorpus:
         read_back = spark.read.parquet(out)
         assert read_back.filter(F.col("split") == "train").count() == \
             line["counts"].get("train", 0)
+
+
+class TestDecontamAndPacking:
+    def test_train_docs_sharing_eval_shingles_dropped(self, spark):
+        docs = load_table(spark, SF, "documents")
+        with_c = build_corpus(spark, docs, min_tokens=3, max_dup_ratio=0.9,
+                              contam_ngram=5, pack_budget=0)
+        without_c = build_corpus(spark, docs, min_tokens=3, max_dup_ratio=0.9,
+                                 contam_ngram=0, pack_budget=0)
+        n_with, n_without = with_c.count(), without_c.count()
+        assert n_with <= n_without
+        # only TRAIN rows may differ; held-out rows are identical
+        held_with = sorted(r.doc_id for r in with_c.collect() if r.split != "train")
+        held_wo = sorted(r.doc_id for r in without_c.collect() if r.split != "train")
+        assert held_with == held_wo
+        # brute-force: no surviving train doc shares a 5-shingle with
+        # any held-out doc
+        rows = {r.doc_id: (r.text, r.split) for r in with_c.collect()}
+
+        def shingles(t):
+            w = [x for x in t.lower().split() if x]
+            return {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+
+        held_sh = set()
+        for t, sp in rows.values():
+            if sp != "train":
+                held_sh |= shingles(t)
+        for did, (t, sp) in rows.items():
+            if sp == "train":
+                assert not (shingles(t) & held_sh), did
+
+    def test_packing_addresses(self, spark):
+        docs = load_table(spark, SF, "documents")
+        corpus = build_corpus(spark, docs, min_tokens=3, max_dup_ratio=0.9,
+                              contam_ngram=5, pack_budget=256)
+        rows = sorted(
+            ((r.split, r.doc_id, r.n_tokens, r.bin, r.bin_offset)
+             for r in corpus.collect())
+        )
+        cum: dict[str, int] = {}
+        for split, did, n_tok, b, off in rows:
+            start = cum.get(split, 0)
+            assert (b, off) == (start // 256, start % 256), (split, did)
+            cum[split] = start + n_tok
