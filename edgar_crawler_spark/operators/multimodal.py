@@ -226,3 +226,38 @@ def oracle_resize_media_sql(box: int = 224) -> str:
            md5(mh || '|' || ow || 'x' || oh) AS out_hash
     FROM g
     """
+
+
+def make_sentence_udtf():
+    """A real Python UDTF (Spark 4 `@udtf` API): 1 document row → N
+    (sent_idx, sentence, n_chars) rows, usable from SQL via
+    `LATERAL split_sentences(text)`.
+
+    The engine's 1→N operators are deliberately native explodes
+    (sample_frames, the shingle generators) because arrays-in-JVM beat
+    per-row Python; this UDTF exists for the cases where the row fanout
+    is genuinely Python-logic-bound (a real sentence segmenter, a
+    parser) — it demonstrates the registration surface and the exact
+    per-row contract (an iterator of tuples per input row), with the
+    same segmentation mirrored in tests against a pure-Python oracle.
+    Returned (not module-level) so importing this module stays free of
+    Spark-session side effects.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: D401 - udtf contract
+            if text is None:
+                return
+            import re as _re
+
+            parts = [
+                p.strip()
+                for p in _re.split(r"(?<=[.!?])\s+", text)
+                if p.strip()
+            ]
+            for i, p in enumerate(parts):
+                yield i, p, len(p)
+
+    return SplitSentences

@@ -368,3 +368,33 @@ class TestStreamAttribution:
         got = {(r.purchase_id, r.view_id)
                for r in spark.read.parquet(out).collect()}
         assert got == {(100, 10), (103, 13), (104, 14)}
+
+
+class TestSentenceUdtf:
+    def test_lateral_fanout_matches_python(self, spark):
+        import re
+
+        from edgar_crawler_spark.operators.multimodal import make_sentence_udtf
+
+        spark.udtf.register("split_sentences", make_sentence_udtf())
+        df = spark.createDataFrame(
+            [(0, "One. Two two! Three?  Four"),
+             (1, "no terminators here"),
+             (2, None)],
+            "doc_id long, text string",
+        )
+        df.createOrReplaceTempView("udtf_docs")
+        rows = spark.sql(
+            "SELECT doc_id, s.* FROM udtf_docs, "
+            "LATERAL split_sentences(text) AS s"
+        ).collect()
+        got = {(r.doc_id, r.sent_idx): (r.sentence, r.n_chars) for r in rows}
+        want = {}
+        for did, text in [(0, "One. Two two! Three?  Four"),
+                          (1, "no terminators here")]:
+            parts = [p.strip() for p in re.split(r"(?<=[.!?])\s+", text)
+                     if p.strip()]
+            for i, p in enumerate(parts):
+                want[(did, i)] = (p, len(p))
+        assert got == want
+        assert not any(r.doc_id == 2 for r in rows)  # null row -> no fanout
