@@ -189,11 +189,14 @@ def snapshot_diff(
         raise ValueError("schema changed between snapshots")
 
     def fp(df: DataFrame) -> DataFrame:
-        fcol = (
-            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload]))
-            if payload
-            else F.lit("")
-        )
+        # concat_ws SKIPS nulls, which would collide (a, NULL) with
+        # (NULL, a) across payload columns — encode null explicitly so
+        # a null-ness change is an update
+        cells = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+            for c in payload
+        ]
+        fcol = F.md5(F.concat_ws("\x1f", *cells)) if payload else F.lit("")
         return df.select(*key_cols, fcol.alias("_fp"))
 
     o = fp(old).alias("o")

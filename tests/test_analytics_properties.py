@@ -154,6 +154,26 @@ class TestSnapshotDiffBruteForce:
                 want.add((k, "update"))
         assert got == want
 
+    def test_null_payload_changes_detected(self, spark, tmp_path):
+        """A value moving between columns via NULLs must register as
+        an update (concat_ws skips nulls; the fingerprint must not)."""
+        from edgar_crawler_spark.frontier.state import SnapshotStore, snapshot_diff
+
+        store = SnapshotStore(str(tmp_path / "sdn"))
+        v1 = store.commit({
+            "t": spark.createDataFrame(
+                [("k1", "a", None), ("k2", None, None)],
+                "k string, x string, y string")
+        })
+        v2 = store.commit({
+            "t": spark.createDataFrame(
+                [("k1", None, "a"), ("k2", None, None)],
+                "k string, x string, y string")
+        })
+        got = {(r.k, r._change)
+               for r in snapshot_diff(spark, store, "t", v1, v2, ["k"]).collect()}
+        assert got == {("k1", "update")}
+
 
 class TestPackingInvariants:
     def test_offsets_and_bins_contiguous(self, spark):
