@@ -72,6 +72,10 @@ class TestEdgarIndexDataSource:
         )
         assert df.count() == 100
         assert set((r.year, r.quarter) for r in df.collect()) == {(2020, 2)}
+        # pruning is REAL: the pushed year+quarter predicates drop the
+        # other two splits at planning time (content-only checks would
+        # also pass if pushFilters silently yielded everything back)
+        assert df.rdd.getNumPartitions() == 1
 
     def test_unsupported_filter_still_correct(self, registered):
         spark = registered
