@@ -355,8 +355,15 @@ class TestStreamAttribution:
             .option("maxFilesPerTrigger", 1)
             .parquet(pdir)
         )
+        # watermark wider than the sentinel gap (1h): the two file
+        # streams' micro-batches interleave nondeterministically, and
+        # a purchases batch carrying the 01:00 sentinel can process
+        # BEFORE the views stream's second file — a tight watermark
+        # would then late-drop view 13 (a test artifact, not operator
+        # behavior; production watermarks bound genuine lateness)
         q = (
-            stream_attribution(views, purchases, horizon="30 seconds")
+            stream_attribution(views, purchases, horizon="30 seconds",
+                               watermark="2 hours")
             .writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
