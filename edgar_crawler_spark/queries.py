@@ -2553,3 +2553,50 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
         ).alias("bad_status"),
     )
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+    doc="Batch session windows via the ENGINE's session_window "
+        "operator (30-minute inactivity gap), cross-checked against "
+        "the first-principles gaps-and-islands SQL (lag -> new-session "
+        "flag -> running sum -> group) — i.e. Spark's native session "
+        "merge is verified row-for-row against the textbook "
+        "construction. session_window is one shuffle on user_id with "
+        "in-partition merge; the islands formulation needs the same "
+        "shuffle plus two window passes — the operator IS the "
+        "optimization. Streaming dual: streaming/jobs.py:"
+        "stream_sessionize (same expression, watermarked).",
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
