@@ -62,6 +62,34 @@ class RobotsPolicy:
             return True
         return self._parser.can_fetch(self.user_agent, url)
 
+    def crawl_delay(self) -> float | None:
+        """Crawl-delay (or Request-rate) from robots.txt, seconds
+        between requests — None when unspecified."""
+        if self._parser is None:
+            return None
+        d = self._parser.crawl_delay(self.user_agent)
+        if d is not None:
+            return float(d)
+        rr = self._parser.request_rate(self.user_agent)
+        if rr is not None and rr.requests:
+            return rr.seconds / rr.requests
+        return None
+
+
+def effective_budget(
+    host_budget_per_sec: float, robots: "RobotsPolicy | None"
+) -> float:
+    """Host budget after honoring a robots Crawl-delay: the STRICTER
+    of the operator budget and the host's advertised rate (SEC
+    publishes 10 req/s; a host advertising Crawl-delay: 1 gets 1
+    req/s even if our budget allows more)."""
+    if robots is None:
+        return host_budget_per_sec
+    d = robots.crawl_delay()
+    if d is None or d <= 0:
+        return host_budget_per_sec
+    return min(host_budget_per_sec, 1.0 / d)
+
 FETCH_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string, "
     "cik string, company string, form_type string, filing_date string, "
@@ -142,7 +170,7 @@ def fetch_extract_wave(
 
     from ..extraction import ExtractionOptions, extract_filing  # noqa: PLC0415
 
-    rate = per_bucket_rate(host_budget_per_sec, n_buckets)
+    rate = per_bucket_rate(effective_budget(host_budget_per_sec, robots), n_buckets)
     tf = transport_factory or SimulatedTransport
     opts = extraction_options or ExtractionOptions()
 
@@ -213,7 +241,7 @@ def fetch_wave(
     virtual send time in seconds since the wave start; politeness
     tests assert the per-host rate from it).
     """
-    rate = per_bucket_rate(host_budget_per_sec, n_buckets)
+    rate = per_bucket_rate(effective_budget(host_budget_per_sec, robots), n_buckets)
     tf = transport_factory or SimulatedTransport
 
     def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -564,3 +564,43 @@ class TestSnapshotExpiry:
         # carrier and MUST survive
         assert store.read(spark, "seen", 1) is None
         assert store.read_any(spark, "company_info").count() == 2
+
+
+class TestCrawlDelay:
+    def test_robots_crawl_delay_caps_rate(self, spark, tmp_path):
+        """robots.txt Crawl-delay overrides a looser operator budget:
+        delay=1s -> 1 req/s across the host, split over buckets."""
+        from edgar_crawler_spark.frontier.fetch import (
+            RobotsPolicy, effective_budget,
+        )
+
+        robots = RobotsPolicy("User-agent: *\nCrawl-delay: 1\n")
+        assert robots.crawl_delay() == 1.0
+        assert effective_budget(10.0, robots) == 1.0
+        # stricter operator budget wins the other way
+        assert effective_budget(0.5, robots) == 0.5
+        assert effective_budget(10.0, None) == 10.0
+        assert effective_budget(10.0, RobotsPolicy("User-agent: *\n")) == 10.0
+
+        job = CrawlJob(
+            spark,
+            SnapshotStore(str(tmp_path / "cd")),
+            n_buckets=2,
+            wave_size=10,
+            host_budget_per_sec=10.0,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+            robots=robots,
+        )
+        job.run(_frontier_df(spark, 12), max_waves=1)
+        log = job.pages().select("host_bucket", "sched_ts").toPandas()
+        # 1 req/s over 2 buckets -> 0.5 req/s per bucket -> >= 2s gaps
+        for _, grp in log.groupby("host_bucket"):
+            ts = sorted(grp.sched_ts)
+            gaps = [b - a for a, b in zip(ts, ts[1:])]
+            assert all(g >= 2.0 - 1e-6 for g in gaps[1:] + ([gaps[0]] if len(gaps) > 1 else gaps[:1]))
+
+    def test_request_rate_fallback(self):
+        from edgar_crawler_spark.frontier.fetch import RobotsPolicy
+
+        r = RobotsPolicy("User-agent: *\nRequest-rate: 2/10\n")
+        assert r.crawl_delay() == 5.0
