@@ -129,6 +129,35 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"partial_count"],
      [r"(?s)\(\d+\) Scan parquet.*\(\d+\) Scan parquet",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # session windows: one exchange on the session key feeds the
+    # engine's session-window aggregation — no self-join, no python
+    ("session_window_agg",
+     [r"hashpartitioning\(user_id#\d+L", r"(?i)session"],
+     [r"SortMergeJoin|NestedLoop|BatchEvalPython|ArrowEvalPython"]),
+    # inverted index: partial agg before the exchange; the collect_list
+    # shuffle carries distinct (token, doc_id) pairs
+    ("inverted_index",
+     [r"partial_", r"hashpartitioning\(token#\d+"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # fuzzy entity pairs: equi-join keyed on the blocking prefix, and
+    # levenshtein must NOT be a join condition evaluated pre-block
+    ("entity_fuzzy_pairs",
+     [r"Left keys \[1\]: \[blk#\d+\]"],
+     [r"CartesianProduct|BroadcastNestedLoopJoin",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # JSON payload agg: typed from_json in the projection, one scan,
+    # shuffle carries only (event_type, partials)
+    ("props_json_agg",
+     [r"from_json", r"partial_count"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # one-pass DQ profile: a single scan feeds all expectations
+    ("dq_profile",
+     [r"partial_count"],
+     [r"(?s)\(\d+\) Scan parquet.*\(\d+\) Scan parquet"]),
+    # BPE pair counting: top-k never a global sort
+    ("bpe_pair_counts",
+     [r"partial_count", r"TakeOrderedAndProject"],
+     [r"\+- Sort .*global=true", r"BatchEvalPython|ArrowEvalPython"]),
 ]
 
 
