@@ -2600,3 +2600,119 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "rolling_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_30d,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+    """,
+    doc="Rolling 30-day per-customer spend — a RANGE-frame window "
+        "(event-time span, not row count): each order sees the sum of "
+        "the customer's orders in its trailing 30 days. One shuffle "
+        "on the customer key, sort by date inside the partition, the "
+        "RangeFrame slides over it in a single pass (no self-join "
+        "range query). Same-date ties share a frame per RANGE "
+        "semantics — mirrored exactly by the oracle's WINDOW clause.",
+)
+def q_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    # rangeBetween needs a numeric/interval ordering expression: use
+    # epoch days so "30 days" is the literal 30
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+@query(
+    "quality_deciles",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, n_chars,
+             NTILE(10) OVER (ORDER BY n_chars DESC, doc_id ASC) AS decile
+      FROM documents)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM q GROUP BY decile
+    """,
+    doc="Decile bucketing of documents by length (the curation "
+        "report's 'drop the bottom decile' cut): ntile over a fully "
+        "deterministic order (n_chars desc, doc_id asc). The global "
+        "ntile is a single-partition sort — correct for REPORTS "
+        "(output is 10 rows); for assigning deciles to 10^10 rows use "
+        "the percentile thresholds (length_quantiles) joined back as "
+        "a broadcast instead, which this registry also provides.",
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = W.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    q = docs.select("doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+    return q.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    ).select(F.col("decile").cast("long"), "n_docs", "min_chars", "max_chars")
+
+
+@query(
+    "neardup_triangles",
+    oracle=f"""
+    WITH pairs AS ({D.oracle_minhash_lsh_pairs_sql(**_CC_PAIRS_KW)}),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+    """,
+    doc="Triangle count of the near-dup graph — the dedup-QA metric "
+        "behind 'LSH components are clique-like' (PLANS.md): a high "
+        "triangle-to-edge ratio validates that connected components "
+        "collapse true duplicate groups rather than chaining "
+        "unrelated docs through hub nodes. Distributed shape: edges "
+        "are oriented a<b, so each triangle is counted exactly once "
+        "via the two-hop join (e1.b=e2.a) closed by an edge lookup — "
+        "two shuffles on vertex ids, the standard vertex-join "
+        "triangle algorithm (no adjacency matrices, no driver "
+        "collection).",
+)
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    e = D.minhash_lsh_pairs(docs, **_CC_PAIRS_KW).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).cache()
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.col("e1.a"), F.col("e1.b"), F.col("e2.b").alias("c"))
+    )
+    n_edges = e.count()
+    return tri.agg(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )
