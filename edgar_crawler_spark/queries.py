@@ -2676,33 +2676,58 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neardup_triangles",
     oracle=f"""
     WITH pairs AS ({D.oracle_minhash_lsh_pairs_sql(**_CC_PAIRS_KW)}),
-    e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+    e0 AS (SELECT id_a AS a, id_b AS b FROM pairs),
+    e AS (
+      SELECT a, b FROM e0
+      WHERE CAST(('0x' || substr(md5('tri|' || CAST(a AS VARCHAR) || '|'
+                                 || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10 = 0),
     tri AS (
       SELECT e1.a, e1.b, e2.b AS c
       FROM e e1 JOIN e e2 ON e2.a = e1.b
       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
-    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
-           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+    SELECT CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges_sampled,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_tri_sampled,
+           CAST(ROUND((SELECT COUNT(*) FROM tri) * 1000.0) AS BIGINT)
+             AS est_triangles
     """,
-    doc="Triangle count of the near-dup graph — the dedup-QA metric "
-        "behind 'LSH components are clique-like' (PLANS.md): a high "
-        "triangle-to-edge ratio validates that connected components "
-        "collapse true duplicate groups rather than chaining "
-        "unrelated docs through hub nodes. Distributed shape: edges "
-        "are oriented a<b, so each triangle is counted exactly once "
-        "via the two-hop join (e1.b=e2.a) closed by an edge lookup — "
-        "two shuffles on vertex ids, the standard vertex-join "
-        "triangle algorithm (no adjacency matrices, no driver "
-        "collection).",
+    doc="Triangle ESTIMATE of the near-dup graph — the dedup-QA "
+        "metric behind 'LSH components are clique-like' (PLANS.md). "
+        "Exact triangle counting on a clique-dense dup graph is "
+        "Theta(sum of clique^3) — measured 255s at sf0.1 on this "
+        "corpus — so this is DOULION edge sampling (Tsourakakis "
+        "2009): keep each oriented edge iff a deterministic hash "
+        "lands in 1/10 (rerunnable, identical in both engines), "
+        "count triangles in the sampled graph via the standard "
+        "two-hop vertex join, scale by 1/p^3 = 1000 for the unbiased "
+        "estimate. Intermediates shrink by p^2, the estimate's "
+        "relative error is O(1/sqrt(p^3 T)) — tiny for any graph "
+        "dense enough to need sampling in the first place.",
 )
 def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    e = D.minhash_lsh_pairs(docs, **_CC_PAIRS_KW).select(
+    e0 = D.minhash_lsh_pairs(docs, **_CC_PAIRS_KW).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     ).cache()
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    e3 = e.alias("e3")
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("tri|"), F.col("a").cast("string"),
+                        F.lit("|"), F.col("b").cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    e = e0.filter(keep).cache()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
         .join(
@@ -2711,8 +2736,11 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("e1.a"), F.col("e1.b"), F.col("e2.b").alias("c"))
     )
-    n_edges = e.count()
+    n_edges = e0.count()
+    n_sampled = e.count()
     return tri.agg(
         F.lit(n_edges).cast("long").alias("n_edges"),
-        F.count(F.lit(1)).alias("n_triangles"),
+        F.lit(n_sampled).cast("long").alias("n_edges_sampled"),
+        F.count(F.lit(1)).alias("n_tri_sampled"),
+        F.round(F.count(F.lit(1)) * 1000.0).cast("long").alias("est_triangles"),
     )
