@@ -405,3 +405,57 @@ class TestSentenceUdtf:
                 want[(did, i)] = (p, len(p))
         assert got == want
         assert not any(r.doc_id == 2 for r in rows)  # null row -> no fanout
+
+
+class TestStreamCorpusIngest:
+    def test_incremental_exactly_once_and_replay_idempotent(self, spark, tmp_path):
+        from edgar_crawler_spark.frontier.state import SnapshotStore
+        from edgar_crawler_spark.streaming.ingest import (
+            ingest_batch, read_corpus, stream_corpus_ingest,
+        )
+
+        src = str(tmp_path / "raw")
+        ckpt = str(tmp_path / "ing_ckpt")
+        store = SnapshotStore(str(tmp_path / "ing_store"))
+        schema = "doc_id long, text string, lang string"
+
+        # file 1: 3 docs, one in-batch duplicate pair (1, 3)
+        spark.createDataFrame(
+            [(1, "alpha body", "en"), (2, "beta body", "en"),
+             (3, "alpha body", "en")],
+            schema,
+        ).write.mode("append").parquet(src)
+        q = stream_corpus_ingest(spark, src, store, ckpt, schema=schema)
+        assert q.awaitTermination(120), "ingest did not terminate"
+        c1 = read_corpus(spark, store)
+        assert c1.count() == 2
+        assert {r.doc_id for r in c1.collect()} == {1, 2}
+
+        # file 2: cross-batch dup of doc 2's content + one new doc
+        spark.createDataFrame(
+            [(4, "beta body", "en"), (5, "gamma body", "en")],
+            schema,
+        ).write.mode("append").parquet(src)
+        q = stream_corpus_ingest(spark, src, store, ckpt, schema=schema)
+        assert q.awaitTermination(120), "ingest did not terminate"
+        corpus = read_corpus(spark, store)
+        assert {r.doc_id for r in corpus.collect()} == {1, 2, 5}
+        # split column present + consistent
+        import hashlib
+
+        for r in corpus.collect():
+            pct = int(hashlib.md5(f"split|{r.doc_id}".encode())
+                      .hexdigest()[:8], 16) % 100
+            want = ("train" if pct < 90
+                    else "validation" if pct < 95 else "test")
+            assert r.split == want
+
+        # replay idempotency: re-processing an already-committed batch
+        # (the crash-between-commit-and-checkpoint window) appends 0
+        replayed = spark.createDataFrame(
+            [(4, "beta body", "en"), (5, "gamma body", "en")],
+            schema,
+        )
+        n = ingest_batch(spark, store, replayed)
+        assert n == 0
+        assert read_corpus(spark, store).count() == 3
