@@ -205,6 +205,15 @@ class TestStreamSessionize:
              (1, ts("2024-01-01 00:02:00"), "view")],
             schema,
         ).write.mode("append").parquet(src)
+        # the file source orders batches by modification time; two
+        # files written within the same mtime tick can process in
+        # either order, and if the sentinel batch ran FIRST the
+        # watermark would late-drop the real events — force distinct
+        # mtimes so batch order (and thus the watermark walk) is
+        # deterministic
+        import time as _time
+
+        _time.sleep(2)
         spark.createDataFrame(
             [(1, ts("2024-01-01 00:02:20"), "purchase"),
              (99, ts("2024-01-01 02:00:00"), "sentinel")],
