@@ -198,13 +198,18 @@ class TestStreamSessionize:
         # batch file 1 = early events, batch file 2 = the tail of user
         # 1's second session + a far-future sentinel that advances the
         # watermark past every real session's close.
+        # coalesce(1): ONE part file per write — with
+        # maxFilesPerTrigger=1 each PART is a micro-batch, and parts
+        # of a single write otherwise share an mtime tick, letting the
+        # sentinel's part process before its siblings and late-drop
+        # them via the advanced watermark
         spark.createDataFrame(
             [(1, ts("2024-01-01 00:00:00"), "view"),
              (1, ts("2024-01-01 00:00:10"), "click"),
              (2, ts("2024-01-01 00:00:05"), "view"),
              (1, ts("2024-01-01 00:02:00"), "view")],
             schema,
-        ).write.mode("append").parquet(src)
+        ).coalesce(1).write.mode("append").parquet(src)
         # the file source orders batches by modification time; two
         # files written within the same mtime tick can process in
         # either order, and if the sentinel batch ran FIRST the
@@ -218,7 +223,7 @@ class TestStreamSessionize:
             [(1, ts("2024-01-01 00:02:20"), "purchase"),
              (99, ts("2024-01-01 02:00:00"), "sentinel")],
             schema,
-        ).write.mode("append").parquet(src)
+        ).coalesce(1).write.mode("append").parquet(src)
 
         stream = (
             spark.readStream.schema(schema)
