@@ -2744,3 +2744,49 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tri_sampled"),
         F.round(F.count(F.lit(1)) * 1000.0).cast("long").alias("est_triangles"),
     )
+
+
+_EMB_DIM = 64  # fixed embedding dimensionality of the embeddings table
+
+
+@query(
+    "label_centroids",
+    oracle=f"""
+    WITH u AS (
+      SELECT label, g.i AS i, embedding[g.i] AS x
+      FROM embeddings, generate_series(1, {_EMB_DIM}) AS g(i)),
+    c AS (
+      SELECT label, i, AVG(CAST(x AS DOUBLE)) AS m
+      FROM u GROUP BY label, i)
+    SELECT label,
+           CAST((SELECT COUNT(*) FROM embeddings e
+                 WHERE e.label = c.label) AS BIGINT) AS n_vecs,
+           ROUND(SQRT(SUM(m * m)), 4) AS centroid_norm,
+           ROUND(MAX(CASE WHEN i = 1 THEN m END), 4) AS c0,
+           ROUND(MAX(CASE WHEN i = 2 THEN m END), 4) AS c1
+    FROM c GROUP BY label
+    """,
+    doc="Per-label embedding centroids (class means — the cluster-"
+        "center / prototype computation of an embedding pipeline): "
+        "the mean vector is computed as 64 per-dimension avg "
+        "aggregates in ONE hash aggregation (map-side partial sums — "
+        "the shuffle carries 64 (sum, count) pairs per label per "
+        "partition, never vectors), exactly the update step of the "
+        "distributed k-means in operators/similarity.py. Verified on "
+        "the centroid's norm and leading coordinates; the full "
+        "array stays available as a column.",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = [
+        F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
+        for i in range(_EMB_DIM)
+    ]
+    agg = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"), *dims)
+    norm = F.sqrt(sum((F.col(f"m{i}") * F.col(f"m{i}") for i in range(_EMB_DIM)), F.lit(0.0)))
+    return agg.select(
+        "label", "n_vecs",
+        F.round(norm, 4).alias("centroid_norm"),
+        F.round("m0", 4).alias("c0"),
+        F.round("m1", 4).alias("c1"),
+    )
