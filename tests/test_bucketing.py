@@ -81,3 +81,24 @@ class TestBucketedJoin:
             assert not re.search(r"\(\d+\) Exchange", plan), plan
         finally:
             spark.sql("DROP TABLE IF EXISTS b_docs3")
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_on_read(self, spark, tmp_path):
+        """Hive-style partitioned layout (the corpus pipeline's
+        partitionBy('split') write): a filter on the partition column
+        must become a PartitionFilter — whole directories skipped at
+        planning, zero data files of other partitions touched."""
+        out = str(tmp_path / "part_docs")
+        docs = load_table(spark, SF, "documents")
+        docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+
+        df = spark.read.parquet(out).filter(F.col("lang") == "en")
+        plan = _plan(df)
+        assert re.search(r"PartitionFilters: \[.*lang.*\]", plan), plan
+        # rows match a non-partitioned filter exactly
+        want = docs.filter(F.col("lang") == "en").count()
+        assert df.count() == want
+        # and the planned input files are confined to the lang=en dir
+        files = df.inputFiles()
+        assert files and all("lang=en" in f for f in files), files
