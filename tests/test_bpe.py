@@ -77,3 +77,55 @@ class TestBpeTrainer:
         )
         merges, _ = train_bpe(df, n_merges=5, min_count=2)
         assert merges == []
+
+
+class TestMergeFoldAdversarial:
+    def test_fold_matches_python_on_tricky_arrays(self, spark):
+        """One Spark job over 300 adversarial token arrays — overlap
+        runs (l==r), interleaved matches, merged-symbol collisions —
+        each checked against the pure-python greedy merge."""
+        import random
+
+        from edgar_crawler_spark.operators.bpe import merge_pair_col
+
+        rng = random.Random(99)
+        cases = []
+        for _ in range(300):
+            n = rng.randrange(0, 12)
+            w = [rng.choice(["a", "b", "c", "a b"]) for _ in range(n)]
+            cases.append(w)
+        # deliberate hard shapes
+        cases += [["a"] * 6, ["a", "a", "b"] * 3, ["b", "a", "b", "a"],
+                  [], ["a b", "a", "b"]]
+        l, r = "a", "b"
+
+        def py_merge(w):
+            out = []
+            for t in w:
+                if out and out[-1] == l and t == r:
+                    out[-1] = l + " " + r
+                else:
+                    out.append(t)
+            return out
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(cases)],
+            "i long, w array<string>",
+        )
+        got = {
+            row.i: list(row.m)
+            for row in df.select(
+                "i", merge_pair_col(F.col("w"), l, r).alias("m")
+            ).collect()
+        }
+        for i, w in enumerate(cases):
+            assert got[i] == py_merge(w), (i, w, got[i])
+
+    def test_fold_overlapping_pair_same_symbol(self, spark):
+        """l == r: [a,a,a] merges greedily left-to-right into
+        ['a a', 'a'] — non-overlapping semantics."""
+        from edgar_crawler_spark.operators.bpe import merge_pair_col
+
+        df = spark.createDataFrame([(0, ["a", "a", "a"])], "i long, w array<string>")
+        got = df.select(merge_pair_col(F.col("w"), "a", "a").alias("m")).first().m
+        assert list(got) == ["a a", "a"]
