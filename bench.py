@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from edgar_crawler_spark.cachereg import release_caches
 from edgar_crawler_spark.queries import QUERIES
 from edgar_crawler_spark.session import get_spark
 
@@ -69,12 +70,30 @@ def main() -> None:
     # the plan, not interpreter startup.
     force(QUERIES["count_by_type"].fn(spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = QUERIES[name]
-        t0 = time.perf_counter()
-        force(q.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # n>=3 passes, report per-query MEDIAN (VERDICT r02 #8: the n=2
+    # r02 run showed +-25% per-query noise that read as regressions).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            q = QUERIES[name]
+            t0 = time.perf_counter()
+            force(q.fn(spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
+            # pair-generator queries tracked-cache intermediates that
+            # must live until the force() above; release them here so a
+            # multi-pass loop doesn't accumulate executor memory.
+            release_caches()
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {name: round(median(xs), 3) for name, xs in samples.items()}
+    spread = {
+        name: round(max(xs) - min(xs), 3) for name, xs in samples.items()
+    }
 
     # Extraction throughput (filings/sec) once the extract job exists.
     try:
@@ -92,6 +111,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

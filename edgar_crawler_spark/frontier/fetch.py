@@ -144,6 +144,15 @@ FETCH_EXTRACT_SCHEMA = (
 )
 
 
+def _group_key(wave_df: DataFrame) -> str:
+    """Group on assign_waves' collision-free partition slot when
+    present (1:1 with host_bucket — identical groups, but every bucket
+    gets its OWN task, so no bucket's budget share is serialized
+    behind another's; see priority.partition_slots). Raw host_bucket
+    keeps hand-built test inputs working."""
+    return "_pslot" if "_pslot" in wave_df.columns else "host_bucket"
+
+
 def fetch_extract_wave(
     wave_df: DataFrame,
     host_budget_per_sec: float = 10.0,
@@ -151,6 +160,7 @@ def fetch_extract_wave(
     transport_factory: Callable[[], SimulatedTransport] | None = None,
     extraction_options=None,
     robots: RobotsPolicy | None = None,
+    real_pace: bool = False,
 ) -> DataFrame:
     """Fused fetch + extract: one applyInPandas stage that fetches a
     URL and runs ExtractItems on the body in the SAME python worker,
@@ -175,9 +185,12 @@ def fetch_extract_wave(
     opts = extraction_options or ExtractionOptions()
 
     def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import time  # noqa: PLC0415
+
         transport = tf() if not isinstance(tf, SimulatedTransport) else tf
         pdf = pdf.sort_values("bucket_rank", kind="mergesort")
         bucket = TokenBucket(rate=rate, burst=1.0)
+        anchor = time.monotonic()
         out = []
         for row in pdf.itertuples(index=False):
             attempts, body, t = 0, None, 0.0
@@ -185,6 +198,10 @@ def fetch_extract_wave(
             while not denied and attempts <= MAX_RETRIES and body is None:
                 attempts += 1
                 t = bucket.acquire()
+                if real_pace:
+                    delay = (anchor + t) - time.monotonic()
+                    if delay > 0:
+                        time.sleep(delay)
                 body = transport.get(row.url, row.form_type, attempts)
                 if body is None and attempts <= MAX_RETRIES:
                     bucket.now += BACKOFF_FACTOR * (2 ** (attempts - 1))
@@ -223,7 +240,7 @@ def fetch_extract_wave(
             )
         return pd.DataFrame(out)
 
-    return wave_df.groupBy("host_bucket").applyInPandas(
+    return wave_df.groupBy(_group_key(wave_df)).applyInPandas(
         run_bucket, FETCH_EXTRACT_SCHEMA
     )
 
@@ -234,20 +251,32 @@ def fetch_wave(
     n_buckets: int = 8,
     transport_factory: Callable[[], SimulatedTransport] | None = None,
     robots: RobotsPolicy | None = None,
+    real_pace: bool = False,
 ) -> DataFrame:
     """Fetch one wave. Input needs (url, cik, company, form_type,
     filing_date, accession, host_bucket, bucket_rank, wave); output is
     FETCH_SCHEMA — page rows + embedded fetch log (sched_ts is the
     virtual send time in seconds since the wave start; politeness
     tests assert the per-host rate from it).
+
+    real_pace=True is the production mode: each task sleeps until the
+    token bucket's scheduled send time (monotonic clock anchored at
+    task start), so the wave's WALL time equals the politeness
+    schedule — the end-to-end rate-cap test asserts
+    wall ≈ n_urls/host_budget on this path. Default off: tests and
+    benches exercise identical scheduling logic without 10-req/s
+    wall-clock waits.
     """
     rate = per_bucket_rate(effective_budget(host_budget_per_sec, robots), n_buckets)
     tf = transport_factory or SimulatedTransport
 
     def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import time  # noqa: PLC0415
+
         transport = tf() if not isinstance(tf, SimulatedTransport) else tf
         pdf = pdf.sort_values("bucket_rank", kind="mergesort")
         bucket = TokenBucket(rate=rate, burst=1.0)
+        anchor = time.monotonic()
         out = []
         for row in pdf.itertuples(index=False):
             attempts, body, t = 0, None, 0.0
@@ -255,6 +284,10 @@ def fetch_wave(
             while not denied and attempts <= MAX_RETRIES and body is None:
                 attempts += 1
                 t = bucket.acquire()
+                if real_pace:
+                    delay = (anchor + t) - time.monotonic()
+                    if delay > 0:
+                        time.sleep(delay)
                 body = transport.get(row.url, row.form_type, attempts)
                 if body is None and attempts <= MAX_RETRIES:
                     # reference backoff schedule, charged to the clock
@@ -286,4 +319,4 @@ def fetch_wave(
             )
         return pd.DataFrame(out)
 
-    return wave_df.groupBy("host_bucket").applyInPandas(run_bucket, FETCH_SCHEMA)
+    return wave_df.groupBy(_group_key(wave_df)).applyInPandas(run_bucket, FETCH_SCHEMA)

@@ -25,7 +25,9 @@ the per-host budget (politeness.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .canon import host_bucket_col
@@ -107,6 +109,66 @@ def priority_order(frontier: DataFrame, n_partitions: int | None = None) -> Data
     return df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
 
 
+def _murmur3_int32(v: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one int32 block — exactly Spark's `F.hash` /
+    HashPartitioning hash for IntegerType (public algorithm: Appleby's
+    MurmurHash3, the hashInt path). Signed-int32 result, so Python
+    `% n` (non-negative for n > 0) equals Spark's pmod."""
+    m = 0xFFFFFFFF
+    k1 = (v & m) * 0xCC9E2D51 & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = k1 * 0x1B873593 & m
+    h1 = (seed ^ k1) & m
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 4  # total byte length
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & m
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+@lru_cache(maxsize=None)
+def partition_slots(n_buckets: int) -> tuple[int, ...] | None:
+    """slots[bucket] = an int whose HashPartitioning hash lands on a
+    DISTINCT partition per bucket (slots[b] -> partition b of
+    n_buckets).
+
+    `repartition(n_buckets, host_bucket)` does NOT give one bucket per
+    partition: Murmur3 of the bucket ids collides (e.g. buckets 0 and
+    1 of 2 both land on partition 1), stacking two token buckets
+    behind ONE task. Politeness still holds, but the wave loses that
+    bucket's whole budget share — a measured 2x wall-time hit in the
+    rate-cap test at n_buckets=2, and a balls-in-bins ~e/(e-1)x loss
+    at any n_buckets ~ cores. Fix: repartition (and group) on a slot
+    VALUE chosen per bucket so the partitioner's own hash spreads
+    buckets 1:1. Representatives are found by scanning v = 0, 1, ...
+    for each residue (coupon collector, ~n ln n tries) with a pure-
+    Python mirror of the partitioner hash — no Spark job needed.
+    None when a residue is not found within the scan budget (then
+    callers fall back to raw host_bucket partitioning)."""
+    reps: dict[int, int] = {}
+    budget = 1000 * n_buckets + 1000
+    for v in range(budget):
+        t = _murmur3_int32(v) % n_buckets
+        if t not in reps:
+            reps[t] = v
+            if len(reps) == n_buckets:
+                return tuple(reps[t] for t in range(n_buckets))
+    return None
+
+
+def bucket_slot_col(host_bucket: Column | str, n_buckets: int) -> Column | None:
+    """`_pslot` expression for `host_bucket` (None = no mapping)."""
+    slots = partition_slots(n_buckets)
+    if slots is None:
+        return None
+    c = F.col(host_bucket) if isinstance(host_bucket, str) else host_bucket
+    return F.element_at(F.array(*[F.lit(int(s)) for s in slots]), c + 1)
+
+
 def assign_waves(
     frontier: DataFrame,
     n_buckets: int,
@@ -128,9 +190,16 @@ def assign_waves(
     # downstream fetch stage's cost is per-ROW (python + network), not
     # per-byte. An explicit repartition is exempt from AQE coalescing
     # and is reused by both the window and the groupBy/applyInPandas
-    # fetch (same clustering key -> no further exchange).
-    df = df.repartition(n_buckets, F.col("host_bucket"))
-    w = Window.partitionBy("host_bucket").orderBy(
+    # fetch (same clustering key -> no further exchange). Partition
+    # and window on _pslot — 1:1 with host_bucket but chosen so the
+    # partitioner places every bucket on its OWN partition (see
+    # partition_slots); groups are identical either way.
+    slot = bucket_slot_col("host_bucket", n_buckets)
+    key = "host_bucket" if slot is None else "_pslot"
+    if slot is not None:
+        df = df.withColumn("_pslot", slot)
+    df = df.repartition(n_buckets, F.col(key))
+    w = Window.partitionBy(key).orderBy(
         F.col("form_weight").desc(),
         F.col("filing_date").desc(),
         F.col("accession").asc(),

@@ -203,11 +203,14 @@ def snapshot_diff(
     n = fp(new).alias("n")
     cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
     joined = o.join(n, cond, "full_outer")
-    o_key0 = F.col(f"o.{key_cols[0]}")
-    n_key0 = F.col(f"n.{key_cols[0]}")
+    # side presence must be tested via _fp (non-null whenever the row
+    # exists — F.lit("") when there are no payload cols), NOT via a key
+    # column: the eqNullSafe join legitimately matches NULL key values,
+    # and a NULL-keyed row present in both snapshots would read as
+    # 'insert' if classified by key nullness.
     change = (
-        F.when(o_key0.isNull(), F.lit("insert"))
-        .when(n_key0.isNull(), F.lit("delete"))
+        F.when(F.col("o._fp").isNull(), F.lit("insert"))
+        .when(F.col("n._fp").isNull(), F.lit("delete"))
         .when(F.col("o._fp") != F.col("n._fp"), F.lit("update"))
     )
     keys_out = [

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cachereg import tracked_cache
+
 
 def tokens_col(text: Column | str, *, distinct: bool = False, lower: bool = True) -> Column:
     c = F.col(text) if isinstance(text, str) else text
@@ -175,12 +177,13 @@ def minhash_lsh_pairs(
         .select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("w"))
         .filter(F.size("w") >= max(ngram, 1))
         .select("_id", shingle.alias("s"))
-        .cache()
     )
+    toks = tracked_cache(toks)
     sig = toks.select("_id", minhash_signature_col(F.col("s"), k).alias("mh"))
     bands_df = sig.select(
         "_id", F.explode(band_keys_col(F.col("mh"), bands, r)).alias("bk")
-    ).select("_id", "bk.band", "bk.bkey").cache()
+    ).select("_id", "bk.band", "bk.bkey")
+    bands_df = tracked_cache(bands_df)
     a, b = bands_df.alias("a"), bands_df.alias("b")
     cand = (
         a.join(

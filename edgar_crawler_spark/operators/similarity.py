@@ -26,6 +26,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cachereg import tracked_cache
+
 
 def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -313,7 +315,8 @@ def lsh_neardup_pairs(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         lsh_bucket_col(F.col(vec_col), nbits, dim).alias("bucket"),
-    ).cache()
+    )
+    with_bucket = tracked_cache(with_bucket)
     probes = with_bucket.select(
         "_id",
         F.explode(

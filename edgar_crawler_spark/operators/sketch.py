@@ -43,7 +43,11 @@ def hll_registers(values: DataFrame, col: str = "t") -> DataFrame:
     """(bucket, reg) registers of the HLL sketch of `values[col]`.
     Map-side partial max; at most HLL_M rows out."""
     h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-    w = (F.col("h") / HLL_M).cast("long")  # h // m (h >= 0)
+    # exact integer h // m: `/` goes through DOUBLE, and for h >= 2^53
+    # (half the 60-bit hash space) the rounded quotient can truncate to
+    # h//m + 1 when w crosses a bit-length boundary — breaking the
+    # bit-identical register contract vs hll_registers_py / DuckDB.
+    w = F.shiftright(F.col("h"), HLL_P)  # h // 2^p, h >= 0
     bitlen = F.length(F.conv(w.cast("string"), 10, 2))
     rho = F.when(w == 0, F.lit(52)).otherwise(F.lit(52) - bitlen)
     hashed = values.select(h.alias("h")).select(

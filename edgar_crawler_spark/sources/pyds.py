@@ -73,16 +73,26 @@ class EdgarIndexReader(DataSourceReader):
         """Accept Type/CIK equality+IN and (year, quarter) equality —
         the latter by dropping whole partitions, the EDGAR analog of
         partition pruning."""
+        def narrow(cur: set | None, new: set) -> set:
+            # conjunctive semantics: a second predicate on the same
+            # column INTERSECTS the first (EqualTo('10-K') then
+            # In('10-K','8-K') must keep only '10-K'); overwriting would
+            # silently drop the consumed earlier filter and return rows
+            # that violate it.
+            return new if cur is None else cur & new
+
         for f in filters:
             col = f.attribute[0] if isinstance(f.attribute, tuple) else f.attribute
             if isinstance(f, EqualTo) and col == "type":
-                self._type_pred = {f.value}
+                self._type_pred = narrow(self._type_pred, {f.value})
             elif isinstance(f, In) and col == "type":
-                self._type_pred = set(f.values)
+                # In.value is the tuple of values (there is no .values
+                # attribute on the dataclass)
+                self._type_pred = narrow(self._type_pred, set(f.value))
             elif isinstance(f, EqualTo) and col == "cik":
-                self._cik_pred = {f.value}
+                self._cik_pred = narrow(self._cik_pred, {f.value})
             elif isinstance(f, In) and col == "cik":
-                self._cik_pred = set(f.values)
+                self._cik_pred = narrow(self._cik_pred, set(f.value))
             elif isinstance(f, EqualTo) and col == "year":
                 self.quarters = [q for q in self.quarters if q[0] == f.value]
             elif isinstance(f, EqualTo) and col == "quarter":

@@ -114,6 +114,37 @@ class TestHllProperties:
         }
         assert merged == direct
 
+    def test_register_division_exact_above_2_53(self, spark):
+        """ADVICE r02: w = h // m must be exact integer division.
+        Double-rounded division can yield h//m + 1 when the quotient
+        crosses a bit-length boundary (e.g. h = 2^59 - 1: double
+        rounds h to 2^59, the quotient to 2^50 — 51 bits — while the
+        true h//512 = 2^50 - 1 has 50 bits, so rho deviates). Check
+        the Spark expression against exact Python on crafted hashes
+        spanning the boundary cases."""
+        from pyspark.sql import functions as F
+
+        hs = [
+            (1 << 59) - 1, (1 << 59), (1 << 59) + 511,
+            (1 << 53) - 1, (1 << 53) + 511,
+            (1 << 58) - 1, (1 << 56) - 1, (1 << 60) - 1,
+            511, 512, 0,
+        ]
+        df = spark.createDataFrame([(h,) for h in hs], "h long")
+        got = {
+            r.h: r.w
+            for r in df.select(
+                "h", F.shiftright(F.col("h"), SK.HLL_P).alias("w")
+            ).collect()
+        }
+        assert got == {h: h // SK.HLL_M for h in hs}
+        # and the double-division form really would have been wrong
+        # for at least one of these (guards against the test going
+        # vacuous if constants change)
+        assert any(
+            int(float(h) / SK.HLL_M) != h // SK.HLL_M for h in hs
+        )
+
     def test_estimate_error_bound(self, spark):
         """Error within 5 standard errors (sigma = 1.04/sqrt(m)) for a
         range of cardinalities across both estimator branches."""
@@ -173,6 +204,50 @@ class TestSnapshotDiffBruteForce:
         got = {(r.k, r._change)
                for r in snapshot_diff(spark, store, "t", v1, v2, ["k"]).collect()}
         assert got == {("k1", "update")}
+
+    def test_null_key_rows_classified_by_presence(self, spark, tmp_path):
+        """ADVICE r02: the eqNullSafe join legitimately matches rows
+        whose key value is NULL; side presence must come from the _fp
+        column, not key nullness — otherwise a NULL-keyed row present
+        in BOTH snapshots reads as 'insert' (and a NULL-keyed delete
+        is never reported)."""
+        from edgar_crawler_spark.frontier.state import SnapshotStore, snapshot_diff
+
+        store = SnapshotStore(str(tmp_path / "sdk"))
+        v1 = store.commit({
+            "t": spark.createDataFrame(
+                [(None, "same"), ("k1", "old"), ("k2", "gone")],
+                "k string, v string")
+        })
+        v2 = store.commit({
+            "t": spark.createDataFrame(
+                [(None, "same"), ("k1", "new"), ("k3", "born")],
+                "k string, v string")
+        })
+        got = {(r.k, r._change)
+               for r in snapshot_diff(spark, store, "t", v1, v2, ["k"]).collect()}
+        # NULL-keyed unchanged row: absent; others classified normally
+        assert got == {("k1", "update"), ("k2", "delete"), ("k3", "insert")}
+
+    def test_null_key_update_and_delete(self, spark, tmp_path):
+        from edgar_crawler_spark.frontier.state import SnapshotStore, snapshot_diff
+
+        store = SnapshotStore(str(tmp_path / "sdk2"))
+        v1 = store.commit({
+            "t": spark.createDataFrame([(None, "a")], "k string, v string")
+        })
+        v2 = store.commit({
+            "t": spark.createDataFrame([(None, "b")], "k string, v string")
+        })
+        got = {(r.k, r._change)
+               for r in snapshot_diff(spark, store, "t", v1, v2, ["k"]).collect()}
+        assert got == {(None, "update")}
+        v3 = store.commit({
+            "t": spark.createDataFrame([], "k string, v string")
+        })
+        got = {(r.k, r._change)
+               for r in snapshot_diff(spark, store, "t", v2, v3, ["k"]).collect()}
+        assert got == {(None, "delete")}
 
 
 class TestPackingInvariants:

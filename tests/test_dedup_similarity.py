@@ -232,3 +232,23 @@ class TestCcClusters:
         )
         out = D.cc_clusters(docs, pairs).collect()
         assert all(r.cluster_id == r.doc_id and r.keep for r in out)
+
+
+class TestCacheRegistry:
+    def test_tracked_caches_released(self, spark):
+        """ADVICE r02: pair-generator caches must be releasable by the
+        harness loop after materialization (long-lived sessions were
+        accumulating cached plans until eviction pressure)."""
+        from edgar_crawler_spark.cachereg import release_caches
+
+        release_caches()  # drain anything earlier tests left behind
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta " + ("x" if i % 2 else "y"))
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        pairs = D.minhash_lsh_pairs(docs)
+        pairs.count()  # materialize while the caches are live
+        n = release_caches()
+        assert n >= 2  # toks + bands_df at minimum
+        assert release_caches() == 0  # idempotent

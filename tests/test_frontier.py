@@ -181,6 +181,57 @@ class TestOrdering:
             )
             assert keys == sorted(keys)
 
+    def test_murmur_mirror_matches_spark_hash(self, spark):
+        """partition_slots inverts HashPartitioning with a pure-Python
+        Murmur3; it is only sound if the mirror is EXACT (incl. sign
+        and int32 overflow semantics)."""
+        from edgar_crawler_spark.frontier.priority import _murmur3_int32
+
+        vals = list(range(-5, 40)) + [2**31 - 1, -(2**31), 123456789, -987654321]
+        df = spark.createDataFrame([(v,) for v in vals], "v int")
+        got = {r.v: r.h for r in df.select("v", F.hash("v").alias("h")).collect()}
+        assert got == {v: _murmur3_int32(v) for v in vals}
+
+    def test_slots_cover_all_residues(self):
+        from edgar_crawler_spark.frontier.priority import (
+            _murmur3_int32, partition_slots,
+        )
+
+        for n in (2, 3, 4, 8, 16, 256, 1024):
+            s = partition_slots(n)
+            assert s is not None
+            assert len({_murmur3_int32(v) % n for v in s}) == n
+
+    def test_one_bucket_per_partition(self, spark):
+        """Murmur3 collides on raw bucket ids (0 and 1 of 2 share a
+        partition), which would stack two politeness-paced buckets
+        behind one task; the _pslot mapping must place every bucket on
+        its OWN partition."""
+        for n in (2, 4, 8):
+            w = assign_waves(_frontier_df(spark, 300), n_buckets=n, wave_size=300)
+            got = (
+                w.select("host_bucket", F.spark_partition_id().alias("p"))
+                .distinct()
+                .collect()
+            )
+            parts: dict[int, set] = {}
+            for r in got:
+                parts.setdefault(r.host_bucket, set()).add(r.p)
+            assert all(len(v) == 1 for v in parts.values())
+            flat = [next(iter(v)) for v in parts.values()]
+            assert len(set(flat)) == len(parts)
+
+    def test_single_exchange_reused_by_fetch(self, spark):
+        """The _pslot repartition must remain the ONLY exchange: the
+        window and the fetch groupBy reuse its clustering."""
+        from edgar_crawler_spark.frontier.fetch import fetch_wave
+
+        w = assign_waves(_frontier_df(spark, 100), n_buckets=4, wave_size=100)
+        plan = fetch_wave(
+            w, transport_factory=lambda: SimulatedTransport(transient_pct=0)
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
 
 class TestPoliteness:
     def test_token_bucket_rate(self):
@@ -604,3 +655,54 @@ class TestCrawlDelay:
 
         r = RobotsPolicy("User-agent: *\nRequest-rate: 2/10\n")
         assert r.crawl_delay() == 5.0
+
+
+class TestRealPaceEndToEnd:
+    def test_wall_time_matches_host_budget(self, spark):
+        """VERDICT r02 #7: end-to-end rate-cap equality. With
+        real_pace=True the fetch stage SLEEPS to its politeness
+        schedule, so the wave's wall-clock time must equal
+        ~n_urls/host_budget (the north-rule politeness story), and
+        the buckets must run CONCURRENTLY (sequential buckets would
+        double it). Budget math itself is covered elsewhere; this
+        asserts the wall clock.
+
+        n=30 urls, budget 10/s over 2 buckets (5/s each, burst 1):
+        perfectly balanced -> (15-1)/5 = 2.8 s = ~n/budget. The
+        bucket split is hash-determined, so bounds derive from the
+        ACTUAL max bucket size; sequential execution would take the
+        SUM over buckets — the upper bound excludes it.
+        """
+        import time
+
+        from edgar_crawler_spark.frontier.fetch import fetch_wave
+
+        n, budget, buckets = 30, 10.0, 2
+        wave = assign_waves(_frontier_df(spark, n), n_buckets=buckets,
+                            wave_size=n).cache()
+        sizes = {r.host_bucket: r.cnt
+                 for r in wave.groupBy("host_bucket").count()
+                 .withColumnRenamed("count", "cnt").collect()}
+        rate = budget / buckets
+        expect = (max(sizes.values()) - 1) / rate       # paced, parallel
+        sequential = sum((c - 1) / rate for c in sizes.values())
+        assert expect < sequential  # the test can tell the two apart
+
+        t0 = time.monotonic()
+        rows = fetch_wave(
+            wave, host_budget_per_sec=budget, n_buckets=buckets,
+            transport_factory=lambda: SimulatedTransport(transient_pct=0),
+            real_pace=True,
+        ).collect()
+        wall = time.monotonic() - t0
+        wave.unpersist()
+
+        assert len(rows) == n and all(r.status == "ok" for r in rows)
+        # paced: wall >= schedule of the largest bucket
+        assert wall >= expect - 0.05
+        # concurrent + no stragglers: well under the sequential sum,
+        # with slack for task launch + python-worker spin-up
+        assert wall < min(sequential, expect + 2.5)
+        # and ~n/budget when balanced (schedule says so too)
+        sched = max(r.sched_ts for r in rows)
+        assert abs(sched - expect) < 1e-6

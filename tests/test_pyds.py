@@ -85,3 +85,69 @@ class TestEdgarIndexDataSource:
         assert all(r.company.startswith("COMPANY 1") for r in rows)
         total = _load(spark).count()
         assert 0 < len(rows) < total
+
+
+class TestPushFilterConjunction:
+    """ADVICE r02: conjunctive predicates on the same column must
+    INTERSECT, not overwrite — the earlier filter is consumed (never
+    yielded back to Spark), so dropping it returns wrong rows."""
+
+    def _reader(self):
+        from edgar_crawler_spark.sources.pyds import EdgarIndexReader
+
+        return EdgarIndexReader(
+            {"seed": "7", "rows_per_quarter": "50", "quarters": "2020Q1"}
+        )
+
+    def test_equalto_then_in_intersects(self):
+        from pyspark.sql.datasource import EqualTo, In
+
+        r = self._reader()
+        leftover = list(
+            r.pushFilters(
+                [EqualTo(("type",), "10-K"), In(("type",), ("10-K", "8-K"))]
+            )
+        )
+        assert leftover == []  # both consumed
+        assert r._type_pred == {"10-K"}  # intersection, not the In set
+
+    def test_in_then_equalto_intersects(self):
+        from pyspark.sql.datasource import EqualTo, In
+
+        r = self._reader()
+        list(r.pushFilters([In(("cik",), ("1", "2")), EqualTo(("cik",), "2")]))
+        assert r._cik_pred == {"2"}
+
+    def test_disjoint_conjunction_yields_empty_scan(self):
+        from pyspark.sql.datasource import EqualTo
+
+        r = self._reader()
+        list(r.pushFilters([EqualTo(("type",), "10-K"), EqualTo(("type",), "8-K")]))
+        assert r._type_pred == set()
+        assert not list(r.read(r.partitions()[0]))
+
+    def test_end_to_end_two_filters_same_column(self, registered):
+        spark = registered
+        # chained .filter calls -> conjunctive predicates over `type`
+        df = (
+            _load(spark)
+            .filter(F.col("type") == "10-K")
+            .filter(F.col("type").isin("10-K", "8-K"))
+        )
+        rows = df.collect()
+        assert rows and all(r.type == "10-K" for r in rows)
+        # and matches the un-pushed evaluation exactly
+        base = [
+            r for r in _load(spark).collect()
+            if r.type == "10-K" and r.type in ("10-K", "8-K")
+        ]
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, base))
+
+    def test_in_filter_pushdown_isin(self, registered):
+        spark = registered
+        # regression: In.value (not .values) — .isin() pushed as In
+        df = _load(spark).filter(F.col("type").isin("10-K", "8-K"))
+        rows = df.collect()
+        assert rows and all(r.type in ("10-K", "8-K") for r in rows)
+        total = _load(spark).count()
+        assert len(rows) < total

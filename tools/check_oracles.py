@@ -17,6 +17,7 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from edgar_crawler_spark.cachereg import release_caches  # noqa: E402
 from edgar_crawler_spark.queries import QUERIES  # noqa: E402
 from edgar_crawler_spark.session import get_spark  # noqa: E402
 from edgar_crawler_spark.tables import TABLE_NAMES  # noqa: E402
@@ -61,6 +62,8 @@ def main() -> int:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            release_caches()  # pair-gen queries tracked-cache intermediates
         if q.oracle is None:
             print(f"skip  {name}: rows-only ({len(s_rows)} rows)")
             continue

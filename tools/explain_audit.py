@@ -94,15 +94,36 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("vocab_topk",
      [r"partial_count", r"TakeOrderedAndProject"],
      [r"\+- Sort .*global=true"]),
-    # exact quantiles: partial percentile buffers merge map-side; the
-    # scan reads only (source, n_chars)
+    # exact quantiles via value histogram (VERDICT r02 #1): count-only
+    # map-side partial agg, NO percentile buffering, the scan reads only
+    # (source, n_chars), and the histogram is cache-reused across the
+    # totals and rank-lookup branches (single corpus scan)
     ("length_quantiles",
-     [r"partial_percentile", r"ReadSchema: struct<source:string,n_chars:bigint>"],
-     []),
-    # packing: ONE exchange on the pack key (source), then sort+window
+     [r"partial_count", r"ReadSchema: struct<source:string,n_chars:bigint>",
+      r"InMemoryTableScan"],
+     [r"percentile", r"ObjectHashAggregate"]),
+    # packing via two-pass distributed prefix-sum (VERDICT r02 #2): the
+    # DOC-level window keys on the composite (source, _shard) — its sort
+    # order carries doc_id — so no source serializes onto one partition;
+    # pass-1 output is cache-reused by the shard-offset branch
     ("pack_sequences",
-     [r"hashpartitioning\(source#\d+, \d+\), ENSURE_REQUIREMENTS", r"\(\d+\) Window"],
+     [r"hashpartitioning\(source#\d+, _shard#\d+L, \d+\), ENSURE_REQUIREMENTS",
+      r"source#\d+ ASC NULLS FIRST, _shard#\d+L ASC NULLS FIRST, doc_id#\d+L ASC",
+      r"\(\d+\) Window", r"InMemoryTableScan"],
      [r"SinglePartition|BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # decile report via histogram + broadcast boundary ranks (VERDICT
+    # r02 #3): no per-row ntile (no corpus-wide single-partition sort);
+    # the only ordered pass runs over the count-aggregated histogram
+    ("quality_deciles",
+     [r"partial_count", r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+      r"InMemoryTableScan"],
+     [r"ntile", r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # filtered anti-join with a non-empty expected difference (VERDICT
+    # r02 #6): priority predicate pushed to the probe-side scan
+    ("missing_firms",
+     [r"PushedFilters: \[.*In\(o_orderpriority",
+      r"BroadcastHashJoin LeftAnti|BroadcastNestedLoop.*LeftAnti"],
+     [r"SortMergeJoin"]),
     # stratified sampling: scan-projection filter only — whole-stage
     # codegen, zero exchanges, zero python
     ("stratified_sample",
@@ -134,10 +155,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("session_window_agg",
      [r"hashpartitioning\(user_id#\d+L", r"(?i)session"],
      [r"SortMergeJoin|NestedLoop|BatchEvalPython|ArrowEvalPython"]),
-    # inverted index: partial agg before the exchange; the collect_list
-    # shuffle carries distinct (token, doc_id) pairs
+    # inverted index (VERDICT r02 #4): the head (stopword) token set is
+    # broadcast-ANTI-joined out BEFORE the posting-list aggregate, so
+    # collect_list only ever sees df-bounded groups; partial agg before
+    # the exchange; the collect_list shuffle carries (token, doc_id)
     ("inverted_index",
-     [r"partial_", r"hashpartitioning\(token#\d+"],
+     [r"partial_", r"hashpartitioning\(token#\d+",
+      r"BroadcastHashJoin LeftAnti"],
      [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
     # fuzzy entity pairs: equi-join keyed on the blocking prefix, and
     # levenshtein must NOT be a join condition evaluated pre-block
