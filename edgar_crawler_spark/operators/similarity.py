@@ -417,3 +417,102 @@ def oracle_lsh_topk_sql(
     ORDER BY cos_sim DESC, vec_id ASC
     LIMIT {k}
     """
+
+
+def knn_graph(
+    emb: DataFrame,
+    *,
+    k: int = 5,
+    nbits: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Directed kNN graph over LSH candidates: for EVERY vector, its
+    top-k exact-cosine neighbors among Hamming-<=1 bucket candidates —
+    the neighbor graph that feeds embedding dedup clustering and
+    graph-based ANN indexes (HNSW-style construction starts from
+    exactly this blocked-candidate + exact-rerank shape).
+
+    Scale shape: candidate generation is the same flip-explode
+    EQUI-join as lsh_neardup_pairs (never a bit_count theta-join);
+    the per-source top-k is a window PARTITIONED BY the source vector
+    id — high-cardinality, so the rank never serializes. Ordering is
+    on the ROUNDED cosine (ties broken by neighbor id) so the ranking
+    is reproducible across engines and runs.
+    """
+    from .dedup import spread  # noqa: PLC0415
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    with_bucket = spread(emb).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket_col(F.col(vec_col), nbits, dim).alias("bucket"),
+    )
+    with_bucket = tracked_cache(with_bucket)
+    probes = with_bucket.select(
+        "_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(2**i)) for i in range(nbits)],
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        probes.alias("a")
+        .join(
+            with_bucket.select("_id", "bucket").alias("b"),
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("src"), F.col("b._id").alias("nbr"))
+        .distinct()
+    )
+    va = with_bucket.select(F.col("_id").alias("src"), F.col("_v").alias("ea"))
+    vb = with_bucket.select(F.col("_id").alias("nbr"), F.col("_v").alias("eb"))
+    scored = (
+        cand.join(va, "src")
+        .join(vb, "nbr")
+        .withColumn("cos_sim", cosine_col(F.col("ea"), F.col("eb")))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("nbr"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("src", "nbr", "cos_sim", "rnk")
+    )
+
+
+def oracle_knn_graph_sql(k: int = 5, *, nbits: int = 6, dim: int = 64) -> str:
+    """DuckDB oracle for `knn_graph` — identical buckets, candidates,
+    rounded-cosine ordering."""
+    bucket = _oracle_bucket_sql(nbits, dim)
+    # DOUBLE[] casts: Spark's cosine_col sums element products as
+    # doubles; DuckDB's list_dot_product over FLOAT[] accumulates in
+    # float, which lands on the other side of a 4-dp rounding boundary
+    # for ~1 in 10^4 of the graph's ~30k scored pairs.
+    cos = (
+        "ROUND(list_dot_product(a.emb, b.emb) / "
+        "(sqrt(list_dot_product(a.emb, a.emb)) * "
+        "sqrt(list_dot_product(b.emb, b.emb))), 4)"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             CAST({bucket} AS INT) AS bucket
+      FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr, {cos} AS cos_sim
+      FROM b a JOIN b b
+        ON bit_count(xor(a.bucket, b.bucket)) <= 1
+       AND a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT src, nbr, cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY cos_sim DESC, nbr ASC
+             ) AS BIGINT) AS rnk
+      FROM cand)
+    SELECT src, nbr, cos_sim, rnk FROM ranked WHERE rnk <= {k}
+    """

@@ -56,6 +56,52 @@ def hll_registers(values: DataFrame, col: str = "t") -> DataFrame:
     return hashed.groupBy("bucket").agg(F.max("rho").alias("reg"))
 
 
+def hll_registers_by(
+    values: DataFrame, group_cols: list[str], col: str = "t"
+) -> DataFrame:
+    """Grouped registers: one HLL sketch PER group key — at most
+    |groups| x HLL_M rows out (register-table-sized per group, never
+    corpus-sized). The per-group sketches merge across partitions
+    map-side exactly like the global one."""
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    w = F.shiftright(F.col("_h"), HLL_P)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(52)).otherwise(F.lit(52) - bitlen)
+    hashed = values.select(*group_cols, h.alias("_h")).select(
+        *group_cols, (F.col("_h") % HLL_M).alias("bucket"), rho.alias("rho")
+    )
+    return hashed.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("reg"))
+
+
+def hll_estimate_by(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-group (v_zero, s_int, raw_est, est) from grouped registers
+    (same integer-exact indicator sum as hll_estimate_cols)."""
+    term = F.pow(F.lit(2.0), F.lit(52) - F.col("reg")).cast("long")
+    s = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(term).alias("sum_present"),
+    ).select(
+        *group_cols,
+        (F.col("sum_present")
+         + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << 52)).alias("s_int"),
+        (F.lit(HLL_M) - F.col("n_present")).alias("v_zero"),
+    )
+    raw = (
+        F.lit(HLL_ALPHA) * HLL_M * HLL_M * F.lit(float(1 << 52)) / F.col("s_int")
+    )
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return s.select(
+        *group_cols,
+        F.col("v_zero").cast("long").alias("v_zero"),
+        "s_int",
+        F.round(raw, 4).alias("raw_est"),
+        F.round(est, 4).alias("est"),
+    )
+
+
 def hll_merge(*register_sets: DataFrame) -> DataFrame:
     """Max-merge register tables — the sketch of the UNION of the
     underlying datasets, without revisiting them."""

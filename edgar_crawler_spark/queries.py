@@ -3023,6 +3023,275 @@ def q_inverted_index_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_graph",
+    oracle=S.oracle_knn_graph_sql(k=5, nbits=6, dim=64),
+    doc="Directed kNN graph over the embedding table: per vector, its "
+        "top-5 exact-cosine neighbors among sign-LSH Hamming-<=1 "
+        "bucket candidates — the neighbor graph behind embedding-"
+        "dedup clustering and graph-ANN index construction. Candidate "
+        "generation is the flip-explode EQUI-join (no bit_count "
+        "theta-join); the rank is a window partitioned by the SOURCE "
+        "vector id (high-cardinality — never a global sort), ordered "
+        "on the ROUNDED cosine with id tiebreak so the ranking is "
+        "engine-reproducible. operators/similarity.py:knn_graph.",
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_graph(_t(spark, sf_dir, "embeddings"), k=5, nbits=6, dim=64)
+
+
+_HLL_BY_SOURCE_ORACLE = f"""
+    WITH dt AS (
+      SELECT source, CAST(doc_id AS VARCHAR) || '|' || t AS t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    hashed AS (
+      SELECT source,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM dt),
+    rho AS (
+      SELECT source, h % {{m}} AS bucket,
+             CASE WHEN h // {{m}} = 0 THEN 52
+                  ELSE 52 - length(bin(h // {{m}})) END AS rho
+      FROM hashed),
+    regs AS (
+      SELECT source, bucket, MAX(rho) AS reg
+      FROM rho GROUP BY source, bucket),
+    s AS (
+      SELECT source, COUNT(*) AS n_present,
+             CAST(SUM(CAST(2 ** (52 - reg) AS BIGINT)) AS BIGINT)
+               AS sum_present
+      FROM regs GROUP BY source),
+    est AS (
+      SELECT source,
+             sum_present + ({{m}} - n_present) * CAST(2 ** 52 AS BIGINT)
+               AS s_int,
+             {{m}} - n_present AS v_zero
+      FROM s)
+    SELECT source,
+           CAST(v_zero AS BIGINT) AS v_zero,
+           s_int,
+           ROUND(({{alpha}}) * {{m}} * {{m}} * (2 ** 52) / s_int, 4)
+             AS raw_est,
+           ROUND(CASE WHEN ({{alpha}}) * {{m}} * {{m}} * (2 ** 52) / s_int
+                           <= 2.5 * {{m}}
+                       AND v_zero > 0
+                      THEN {{m}} * ln({{m}} * 1.0 / v_zero)
+                      ELSE ({{alpha}}) * {{m}} * {{m}} * (2 ** 52) / s_int
+                 END, 4) AS est
+    FROM est
+"""
+
+
+@query(
+    "hll_by_source",
+    oracle=_HLL_BY_SOURCE_ORACLE.format(m=SK.HLL_M, alpha=_HLL_ALPHA_EXPR),
+    doc="GROUPED HyperLogLog: one mergeable sketch per `source` over "
+        "distinct (doc, token) incidences — the per-shard distinct "
+        "profile a corpus report needs without one pass per group. "
+        "Registers are bit-identical cross-engine (same md5/bucket/"
+        "rho contract as hll_distinct); the aggregate state is at "
+        "most |sources| x 512 rows regardless of corpus size, and "
+        "partial registers max-merge map-side. "
+        "operators/sketch.py:hll_registers_by.",
+)
+def q_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    vals = (
+        D.spread(docs)
+        .select(
+            "source",
+            F.col("doc_id").cast("string").alias("d"),
+            F.explode(D.tokens_col("text")).alias("tok"),
+        )
+        .select("source", F.concat("d", F.lit("|"), "tok").alias("t"))
+    )
+    regs = SK.hll_registers_by(vals, ["source"], "t")
+    return SK.hll_estimate_by(regs, ["source"])
+
+
+@query(
+    "vocab_jaccard_sources",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT source, t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    sz AS (SELECT source, COUNT(*) AS n FROM dt GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_inter
+      FROM dt a JOIN dt b ON a.t = b.t AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT source_a, source_b, n_inter,
+           ROUND(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.source = source_a
+    JOIN sz sb ON sb.source = source_b
+    """,
+    doc="Cross-source vocabulary overlap matrix (corpus-curation "
+        "diagnostic: which shards are redundant before mixing): "
+        "Jaccard of each source pair's DISTINCT token sets via a "
+        "token-keyed self-equi-join. Scale shape: the joined relation "
+        "is the distinct (source, token) table — vocabulary x "
+        "|sources| rows, NOT corpus rows — and per token the fan-out "
+        "is bounded by |sources|^2, so the pair aggregation is "
+        "O(vocab * sources^2) independent of document count; sizes "
+        "join back as a broadcast-scale dim.",
+)
+def q_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dt = tracked_cache(
+        D.spread(docs)
+        .select("source", F.explode(D.tokens_col("text")).alias("t"))
+        .distinct()
+    )
+    sz = dt.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        dt.alias("a")
+        .join(dt.alias("b"),
+              (F.col("a.t") == F.col("b.t"))
+              & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SPARSE_MAX_DF = 40   # bigrams in more docs than this are stopword-grade
+_SPARSE_TAU = 0.3     # rounded-cosine emit threshold
+
+
+@query(
+    "sparse_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, t, COUNT(*) AS tf
+      FROM (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS t
+        FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i))
+      GROUP BY doc_id, t),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (SELECT t, COUNT(*) AS df FROM bg GROUP BY t),
+    kept AS (
+      SELECT bg.doc_id, bg.t,
+             bg.tf * ln(n.n_docs * 1.0 / df.df) AS wgt
+      FROM bg JOIN df USING (t) CROSS JOIN n
+      WHERE df.df <= {_SPARSE_MAX_DF} AND df.df < n.n_docs),
+    nrm AS (
+      SELECT doc_id, sqrt(SUM(wgt * wgt)) AS nrm FROM kept GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wgt * b.wgt) AS s
+      FROM kept a JOIN kept b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(s / (na.nrm * nb.nrm), 4) AS sim
+    FROM p
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    WHERE ROUND(s / (na.nrm * nb.nrm), 4) >= {_SPARSE_TAU}
+    """,
+    doc="TF-IDF sparse cosine all-pairs similarity (the classic "
+        "lexical near-dup / plagiarism join, complementing the "
+        "minhash and embedding paths): bigram tf-idf vectors, pair "
+        "scores via a TOKEN-KEYED inner join — never an all-pairs "
+        f"product. The df <= {_SPARSE_MAX_DF} cap drops stopword-"
+        "grade bigrams BEFORE the pair join, which bounds the "
+        "candidate fan-out per token at df^2 (the standard "
+        "prefix/df-filtering bound from all-pairs-similarity-search); "
+        "partial sums combine map-side on the (id_a, id_b) key. "
+        "Threshold compares the ROUNDED score on both engines.",
+)
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = D.tokens_col("text")
+    base = D.spread(docs).select("doc_id", w.alias("w"))
+
+    def bigram(i):
+        return F.concat_ws(
+            " ", F.element_at(F.col("w"), i + 1), F.element_at(F.col("w"), i + 2)
+        )
+
+    # NULL-for-empty + explode_outer + isNotNull: a plain explode
+    # makes Catalyst synthesize size()>0 and push the whole bigram
+    # array build below the exchange — double compute (PLANS.md)
+    bgs = F.when(
+        F.size("w") >= 2,
+        F.transform(F.sequence(F.lit(0), F.size("w") - 2), bigram),
+    )
+    tf = (
+        base.select("doc_id", F.explode_outer(bgs).alias("t"))
+        .filter(F.col("t").isNotNull())
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _SPARSE_MAX_DF
+    )
+    # df == n_docs => idf == 0: the term contributes nothing to any
+    # dot product or norm, so dropping it is exact — and it means every
+    # surviving doc has nrm > 0 (no divide-by-zero when a corpus is all
+    # duplicates of one doc).
+    kept = tracked_cache(
+        tf.join(df, "t")
+        .crossJoin(F.broadcast(n))  # 1-row doc count
+        .filter(F.col("df") < F.col("n_docs"))
+        .select(
+            "doc_id", "t",
+            (F.col("tf")
+             * F.log(F.col("n_docs").cast("double") / F.col("df"))
+             ).alias("wgt"),
+        )
+    )
+    nrm = kept.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nrm")
+    )
+    p = (
+        kept.alias("a")
+        .join(kept.alias("b"),
+              (F.col("a.t") == F.col("b.t"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.sum(F.col("a.wgt") * F.col("b.wgt")).alias("s"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    sim = F.round(F.col("s") / (F.col("na") * F.col("nb")), 4)
+    return (
+        p.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= _SPARSE_TAU)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -3049,6 +3318,9 @@ _DRIVER_WINDOW_FIRST = [
     "inverted_index_blocked",
     # plan changed this round (missing_firms: non-trivial predicate)
     "missing_firms",
+    # new round-3 queries
+    "knn_graph", "hll_by_source", "vocab_jaccard_sources",
+    "sparse_cosine_pairs",
 ]
 
 
