@@ -34,6 +34,7 @@ from pyspark.sql import Window as W
 
 from . import macrodiscl as MD
 from .cachereg import tracked_cache
+from .operators import clustering as C
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import similarity as S
@@ -3292,6 +3293,331 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_N = 5  # tokens per exact-substring span
+
+
+@query(
+    "dup_span_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    sp AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(w[i:i+{_SPAN_N - 1}], ' ')) AS s
+      FROM toks, UNNEST(generate_series(1, len(w) - {_SPAN_N - 1})) AS g(i)),
+    df AS (SELECT s, COUNT(*) AS df FROM sp GROUP BY s)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COALESCE(SUM(CASE WHEN df.df > 1 THEN 1 END), 0) AS BIGINT)
+             AS n_dup_spans,
+           ROUND(COALESCE(SUM(CASE WHEN df.df > 1 THEN 1 END), 0) * 1.0
+                 / COUNT(*), 4) AS dup_ratio
+    FROM sp JOIN df USING (s)
+    GROUP BY doc_id
+    """,
+    doc=f"Exact-substring duplication profile (the signal behind "
+        f"'Deduplicating Training Data Makes Language Models Better'-"
+        f"style span dedup, computed with hashes instead of a suffix "
+        f"array): per document, how many of its distinct {_SPAN_N}-"
+        f"token spans also occur in ANOTHER document. Spans are md5-"
+        f"hashed in the scan projection so the shuffle and self-"
+        f"aggregation carry 32-byte keys, never text; span df is one "
+        f"hash aggregate on the high-cardinality span key; the "
+        f"explode_outer/isNotNull shape avoids Catalyst's double-"
+        f"compute pushback (PLANS.md). At 100 TB this is the same "
+        f"two-agg pipeline, partitioned by span hash.",
+)
+def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.spread(docs).select("doc_id", D.tokens_col("text").alias("w"))
+    shingle = F.transform(
+        F.sequence(F.lit(0), F.size("w") - _SPAN_N),
+        lambda i: F.md5(F.array_join(F.slice("w", i + 1, _SPAN_N), " ")),
+    )
+    pairs = (
+        toks.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(F.when(F.size("w") >= _SPAN_N, shingle))
+            ).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    pairs = tracked_cache(pairs)
+    span_df = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    dup = F.sum(F.when(F.col("df") > 1, 1))
+    return (
+        pairs.join(span_df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.coalesce(dup, F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce(dup, F.lit(0)) / F.count(F.lit(1)), 4
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 25, 90
+_GOPHER_MWL_LO, _GOPHER_MWL_HI = 4.0, 5.0
+_GOPHER_MIN_STOP = 0.02
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             ROUND(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                   * 1.0 / len(w), 4) AS mean_word_len,
+             CAST(list_aggregate(list_transform(w, x -> length(x)), 'max')
+                  AS BIGINT) AS max_word_len,
+             ROUND(len(list_filter(w, x -> x IN
+                     {str(tuple(_STOPWORDS))})) * 1.0 / len(w), 4)
+               AS stop_frac
+      FROM t WHERE len(w) > 0)
+    SELECT doc_id, n_words, mean_word_len, max_word_len, stop_frac,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+            AND mean_word_len BETWEEN {_GOPHER_MWL_LO!r} AND {_GOPHER_MWL_HI!r}
+            AND stop_frac >= {_GOPHER_MIN_STOP!r}) AS passed
+    FROM s
+    """,
+    doc="Gopher/C4-style rule-based quality filter: per-document word "
+        "count, mean/max word length, stopword fraction, and the "
+        "combined pass flag (Rae et al. 2021 'Scaling Language Models: "
+        "Gopher' quality heuristics, thresholds fitted to the synthetic "
+        "corpus so the flag is non-trivially mixed). Every signal is "
+        "computed with array higher-order functions in the SCAN "
+        "PROJECTION — no explode, no shuffle, no Python; at 100 TB this "
+        "is a single map-only pass fused into whatever consumes it.",
+)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = D.tokens_col("text")
+    lens = F.transform(w, lambda x: F.length(x))
+    n = F.size(w)
+    sum_len = F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+    mwl = F.round(sum_len.cast("double") / n, 4)
+    stop = F.round(
+        F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).cast("double") / n,
+        4,
+    )
+    out = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        F.array_max(lens).cast("long").alias("max_word_len"),
+        stop.alias("stop_frac"),
+    ).filter(F.col("n_words") > 0)
+    passed = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(_GOPHER_MWL_LO, _GOPHER_MWL_HI)
+        & (F.col("stop_frac") >= _GOPHER_MIN_STOP)
+    )
+    return out.withColumn("passed", passed)
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "pii_scan",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 > 0
+                  THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g'))
+             AS redacted_hash,
+           (len(regexp_extract_all(t, '{_EMAIL_RE}')) > 0
+            OR len(regexp_extract_all(t, '{_PHONE_RE}')) > 0)
+             AS has_pii
+    FROM aug
+    """,
+    doc="PII detection + redaction (the scrubbing stage every "
+        "training-data pipeline runs before release): email and phone "
+        "regex hit counts plus an md5 over the REDACTED text, so the "
+        "oracle verifies the replacement output itself, not just the "
+        "counts. PII spans are injected deterministically from doc_id "
+        "on both engines (the synthetic corpus contains none) — 2/3 of "
+        "docs get PII, 1/3 stay clean, so the flag is non-trivial. "
+        "Pure JVM regexp in the scan projection; map-only at any "
+        "scale.",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 > 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    t = aug
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), 0))
+    redacted = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        redacted.alias("redacted_hash"),
+        ((n_emails > 0) | (n_phones > 0)).alias("has_pii"),
+    )
+
+
+@query(
+    "url_canonical_hosts",
+    oracle="""
+    WITH raw AS (
+      SELECT 'HTTP://WWW.Host' || CAST(user_id % 37 AS VARCHAR)
+             || '.Example.COM'
+             || CASE WHEN event_id % 2 = 0 THEN ':80' ELSE '' END
+             || '/p/' || CAST(event_id % 500 AS VARCHAR)
+             || CASE WHEN event_id % 3 = 0 THEN '?b=2&a=1'
+                     WHEN event_id % 3 = 1 THEN '?a=1&b=2'
+                     ELSE '' END
+             || CASE WHEN event_id % 5 = 0 THEN '#ref' ELSE '' END AS url
+      FROM events),
+    c AS (
+      SELECT url,
+             regexp_replace(url, '#.*$', '') AS nofrag
+      FROM raw),
+    parts AS (
+      SELECT url,
+             lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)),
+               ':80$', ''), '^www\\.', '') AS host,
+             regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+               AS path,
+             regexp_extract(nofrag, '\\?(.*)$', 1) AS q
+      FROM c),
+    canon AS (
+      SELECT url, host,
+             scheme || '://' || host
+             || CASE WHEN path = '' THEN '/' ELSE path END
+             || CASE WHEN q = '' THEN ''
+                     ELSE '?' || array_to_string(
+                            list_sort(string_split(q, '&')), '&') END
+               AS curl
+      FROM parts)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw,
+           CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canon,
+           ROUND(1.0 - COUNT(DISTINCT curl) * 1.0 / COUNT(DISTINCT url), 4)
+             AS dup_ratio
+    FROM canon
+    GROUP BY host
+    """,
+    doc="URL canonicalization + per-host dedup stats over Common-"
+        "Crawl-style rows — the frontier's URL-normalization front "
+        "door (case-folded scheme/host, default :80 stripped, www. "
+        "stripped, fragment dropped, query params sorted), then how "
+        "many raw URL variants collapse per host. Messy URLs are "
+        "synthesized deterministically from events on both engines. "
+        "All string surgery is JVM regexp/split/sort_array in the "
+        "scan projection; COUNT(DISTINCT) over the low-cardinality "
+        "host key is safe because Spark expands distinct aggregates "
+        "into a two-phase plan keyed on (host, url) — the hot-host "
+        "skew lives on the high-cardinality composite, not the host.",
+)
+def q_url_canonical_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("HTTP://WWW.Host"),
+        (F.col("user_id") % 37).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (F.col("event_id") % 500).cast("string"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("?b=2&a=1"))
+        .when(F.col("event_id") % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(F.col("event_id") % 5 == 0, F.lit("#ref")).otherwise(F.lit("")),
+    )
+    raw = ev.select(url.alias("url"))
+    nofrag = F.regexp_replace("url", "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(nofrag, "^[A-Za-z]+://([^/?#]+)", 1)),
+            ":80$", "",
+        ),
+        r"^www\.", "",
+    )
+    path = F.regexp_extract(nofrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    q = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    curl = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.array_join(F.sort_array(F.split(q, "&")), "&"))
+        ),
+    )
+    return (
+        raw.select("url", host.alias("host"), curl.alias("curl"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.countDistinct("url").alias("n_raw"),
+            F.countDistinct("curl").alias("n_canon"),
+            F.round(
+                1.0 - F.countDistinct("curl") / F.countDistinct("url"), 4
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@query(
+    "kmeans_embeddings",
+    oracle=C.oracle_kmeans_sql(),
+    doc="Distributed Lloyd's k-means (k=4, 3 rounds, seeded from the "
+        "lowest vec_ids) over the embedding table — the clustering "
+        "stage behind IVF index construction and corpus topic "
+        "bucketing. Each round broadcasts the k x dim centroid table "
+        "as literals (model-sized driver state, never data-sized), so "
+        "assignment is one codegen projection and the update is one "
+        "map-side-combined (cluster, dim) average. Cross-engine-"
+        "deterministic via the rounding contract in "
+        "operators/clustering.py; the DuckDB oracle unrolls the same "
+        "three rounds in SQL.",
+)
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.kmeans_fit(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -3320,7 +3646,8 @@ _DRIVER_WINDOW_FIRST = [
     "missing_firms",
     # new round-3 queries
     "knn_graph", "hll_by_source", "vocab_jaccard_sources",
-    "sparse_cosine_pairs",
+    "sparse_cosine_pairs", "dup_span_profile", "gopher_quality_filter",
+    "pii_scan", "url_canonical_hosts", "kmeans_embeddings",
 ]
 
 

@@ -163,6 +163,18 @@ def _py_tokens(text: str) -> list[str]:
     return [t for t in re.split(r"\s+", text.lower()) if t != ""]
 
 
+def _r4(x: float) -> float:
+    """Round like Spark/DuckDB (half away from zero), not Python's
+    banker's rounding — 18/64 = 0.28125 must give 0.2813."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 class TestVocabJaccard:
     def test_matches_bruteforce(self, spark, tmp_path):
         rng = random.Random(17)
@@ -281,3 +293,259 @@ class TestSparseCosine:
         from edgar_crawler_spark.cachereg import _LIVE
 
         assert not _LIVE
+
+
+class TestDupSpanProfile:
+    def test_matches_bruteforce(self, spark, tmp_path):
+        from edgar_crawler_spark.queries import _SPAN_N, QUERIES
+
+        rng = random.Random(41)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = [
+            (i, "s", " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 20))))
+            for i in range(120)
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string"
+        ).coalesce(2).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        got = {
+            r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_ratio)
+            for r in QUERIES["dup_span_profile"].fn(spark, str(tmp_path)).collect()
+        }
+        spans = {}
+        for i, _, text in docs:
+            toks = _py_tokens(text)
+            spans[i] = {
+                " ".join(toks[j : j + _SPAN_N])
+                for j in range(len(toks) - _SPAN_N + 1)
+            }
+        dfreq: dict[str, int] = {}
+        for ss in spans.values():
+            for s in ss:
+                dfreq[s] = dfreq.get(s, 0) + 1
+        for i, ss in spans.items():
+            if not ss:
+                assert i not in got
+                continue
+            dup = sum(1 for s in ss if dfreq[s] > 1)
+            assert got[i] == (len(ss), dup, round(dup / len(ss), 4)), i
+
+
+class TestGopherFilter:
+    def test_matches_bruteforce(self, spark, tmp_path):
+        from edgar_crawler_spark.queries import (
+            _GOPHER_MAX_WORDS,
+            _GOPHER_MIN_STOP,
+            _GOPHER_MIN_WORDS,
+            _GOPHER_MWL_HI,
+            _GOPHER_MWL_LO,
+            _STOPWORDS,
+            QUERIES,
+        )
+
+        rng = random.Random(43)
+        vocab = [f"word{i}" for i in range(30)] + list(_STOPWORDS)
+        docs = [
+            (i, "s", " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 120))))
+            for i in range(150)
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_words, r.mean_word_len, r.max_word_len,
+                       r.stop_frac, r.passed)
+            for r in QUERIES["gopher_quality_filter"].fn(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        n_passed = 0
+        for i, _, text in docs:
+            w = _py_tokens(text)
+            mwl = _r4(sum(len(t) for t in w) / len(w))
+            sf = _r4(sum(1 for t in w if t in _STOPWORDS) / len(w))
+            passed = (
+                _GOPHER_MIN_WORDS <= len(w) <= _GOPHER_MAX_WORDS
+                and _GOPHER_MWL_LO <= mwl <= _GOPHER_MWL_HI
+                and sf >= _GOPHER_MIN_STOP
+            )
+            n_passed += passed
+            assert got[i] == (len(w), mwl, max(len(t) for t in w), sf, passed), i
+        assert 0 < n_passed < len(docs)  # the flag is non-trivially mixed
+
+
+class TestPiiScan:
+    def test_matches_python_re(self, spark, tmp_path):
+        from edgar_crawler_spark.queries import _EMAIL_RE, _PHONE_RE, QUERIES
+        import hashlib as _h
+
+        docs = [
+            (0, "s", "plain text no pii"),
+            (1, "s", "reach me at a.b-c_d@mail-host.org anytime"),
+            (2, "s", "two mails x@y.io z@w.ai and +1-555-0199"),
+            (3, "s", "edge@case.co"),
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_emails, r.n_phones, r.redacted_hash, r.has_pii)
+            for r in QUERIES["pii_scan"].fn(spark, str(tmp_path)).collect()
+        }
+        for i, _, text in docs:
+            if i % 3 > 0:
+                text = (
+                    text + f" contact u{i}@example.com or +1-555-"
+                    + str(i % 10000).rjust(4, "0")
+                )
+            emails = re.findall(_EMAIL_RE, text)
+            phones = re.findall(_PHONE_RE, text)
+            red = re.sub(
+                _PHONE_RE, "<PHONE>", re.sub(_EMAIL_RE, "<EMAIL>", text)
+            )
+            assert got[i] == (
+                len(emails), len(phones),
+                _h.md5(red.encode()).hexdigest(),
+                bool(emails or phones),
+            ), i
+
+
+class TestUrlCanonicalHosts:
+    def test_matches_python_mirror(self, spark, tmp_path):
+        import datetime as dt
+
+        from edgar_crawler_spark.queries import QUERIES
+
+        base = dt.datetime(2024, 1, 1)
+        events = [
+            (e, base, e % 23, "view", 0.0, "{}") for e in range(800)
+        ]
+        spark.createDataFrame(
+            events,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {
+            r.host: (r.n_fetches, r.n_raw, r.n_canon, r.dup_ratio)
+            for r in QUERIES["url_canonical_hosts"].fn(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        per_host: dict[str, list] = {}
+        for e, _, u, *_rest in events:
+            raw = (
+                f"HTTP://WWW.Host{u % 37}.Example.COM"
+                + (":80" if e % 2 == 0 else "")
+                + f"/p/{e % 500}"
+                + ("?b=2&a=1" if e % 3 == 0 else "?a=1&b=2" if e % 3 == 1 else "")
+                + ("#ref" if e % 5 == 0 else "")
+            )
+            host = f"host{u % 37}.example.com"
+            q = raw.split("#")[0].split("?")[1] if "?" in raw else ""
+            canon = (
+                f"http://{host}/p/{e % 500}"
+                + ("?" + "&".join(sorted(q.split("&"))) if q else "")
+            )
+            per_host.setdefault(host, []).append((raw, canon))
+        for host, urls in per_host.items():
+            n_raw = len({r for r, _ in urls})
+            n_canon = len({c for _, c in urls})
+            assert got[host] == (
+                len(urls), n_raw, n_canon, round(1 - n_canon / n_raw, 4)
+            ), host
+
+
+class TestKmeans:
+    def test_matches_python_mirror(self, spark):
+        from edgar_crawler_spark.operators.clustering import kmeans_fit
+
+        rng = random.Random(47)
+        import struct
+
+        pts = {
+            i: [
+                struct.unpack("f", struct.pack("f", rng.uniform(-1, 1)))[0]
+                for _ in range(6)
+            ]
+            for i in range(90)
+        }
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in pts.items()],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            r.cluster: (r.n_points, r.mean_dist, r.centroid_sum)
+            for r in kmeans_fit(emb, k=3, iters=2).collect()
+        }
+
+        def seq_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        cents = {
+            i: [round(x, 6) for x in pts[i]] for i in range(3)
+        }
+
+        def assign(cs):
+            out = {}
+            for i, p in pts.items():
+                pp = seq_dot(p, p)
+                best = min(
+                    (round(pp + seq_dot(c, c) - 2 * seq_dot(p, c), 4), cl)
+                    for cl, c in cs.items()
+                )
+                out[i] = best  # (d, cl)
+            return out
+
+        for _ in range(2):
+            a = assign(cents)
+            sums: dict[int, list[float]] = {}
+            cnts: dict[int, int] = {}
+            for i, (_, cl) in a.items():
+                s = sums.setdefault(cl, [0.0] * 6)
+                for d in range(6):
+                    s[d] += pts[i][d]
+                cnts[cl] = cnts.get(cl, 0) + 1
+            cents = {
+                cl: (
+                    [round(sums[cl][d] / cnts[cl], 6) for d in range(6)]
+                    if cl in cnts
+                    else prev
+                )
+                for cl, prev in cents.items()
+            }
+        fin = assign(cents)
+        expected: dict[int, list[float]] = {}
+        for i, (d, cl) in fin.items():
+            expected.setdefault(cl, []).append(d)
+        for cl, ds in expected.items():
+            csum = 0.0
+            for x in cents[cl]:
+                csum += x
+            assert got[cl] == (
+                len(ds), round(sum(ds) / len(ds), 4), round(csum, 4)
+            ), cl
+        assert sum(v[0] for v in got.values()) == len(pts)
+
+    def test_inertia_non_increasing(self, spark):
+        from edgar_crawler_spark.operators.clustering import kmeans_fit
+
+        rng = random.Random(53)
+        emb = spark.createDataFrame(
+            [
+                (i, [rng.gauss(i % 3, 0.3) for _ in range(6)])
+                for i in range(120)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        prev = None
+        for iters in (1, 2, 3):
+            rows = kmeans_fit(emb, k=3, iters=iters).collect()
+            inertia = sum(r.n_points * r.mean_dist for r in rows)
+            if prev is not None:
+                assert inertia <= prev + 1e-6, iters
+            prev = inertia

@@ -182,6 +182,58 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("bpe_pair_counts",
      [r"partial_count", r"TakeOrderedAndProject"],
      [r"\+- Sort .*global=true", r"BatchEvalPython|ArrowEvalPython"]),
+    # kNN graph: candidate generation is an EQUI-join on (probe,
+    # bucket) — never a bit_count theta-join — and the per-source rank
+    # window partitions on the high-cardinality src id
+    ("knn_graph",
+     [r"Left keys \[1\]: \[probe#\d+\]", r"Right keys \[1\]: \[bucket#\d+\]",
+      r"hashpartitioning\(src#\d+L"],
+     [r"CartesianProduct", r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # grouped HLL: registers max-merge map-side; the register shuffle
+    # keys on (source, bucket) — at most |sources| x 512 rows
+    ("hll_by_source",
+     [r"partial_max", r"hashpartitioning\(source#\d+, bucket#\d+"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # vocab overlap: the pair join keys on the TOKEN (vocabulary-sized
+    # relation), per-source sizes come back as broadcasts
+    ("vocab_jaccard_sources",
+     [r"Left keys \[1\]: \[t#\d+\]", r"BroadcastHashJoin",
+      r"InMemoryTableScan"],
+     [r"CartesianProduct|BroadcastNestedLoopJoin"]),
+    # sparse cosine: pair scores via the token-keyed join with map-side
+    # partial sums on (id_a, id_b); never an all-pairs product
+    ("sparse_cosine_pairs",
+     [r"Left keys \[1\]: \[t#\d+\]", r"partial_sum", r"InMemoryTableScan"],
+     [r"CartesianProduct", r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # span-duplication profile: shuffles carry the md5 span hash, never
+    # the text column
+    ("dup_span_profile",
+     [r"partial_count", r"hashpartitioning\(s#\d+"],
+     [r"hashpartitioning\([^)]*text#",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # rule-based quality filter: pure scan projection — no exchange,
+    # no python, and only (doc_id, text) read
+    ("gopher_quality_filter",
+     [r"Scan parquet", r"ReadSchema: struct<doc_id:bigint,text:string>"],
+     [r"Exchange|BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # PII scan: pure scan projection (regex in codegen, no python)
+    ("pii_scan",
+     [r"Scan parquet", r"ReadSchema: struct<doc_id:bigint,text:string>"],
+     [r"Exchange|BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # URL canonicalization: distinct aggregates expand into ONE
+    # two-phase plan (Expand + partial agg on the composite key) — a
+    # single scan, no python
+    ("url_canonical_hosts",
+     [r"Expand", r"partial_count"],
+     [r"(?s)\(\d+\) Scan parquet.*\(\d+\) Scan parquet",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # k-means: the FINAL assignment is a literal-centroid codegen
+    # projection — no join anywhere; one map-side-combined agg on the
+    # cluster id
+    ("kmeans_embeddings",
+     [r"partial_count", r"hashpartitioning\(cl#\d+"],
+     [r"Join|CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
