@@ -52,6 +52,12 @@ HEADLINE = [
     "ngram_contamination",
     "vocab_topk",
     "pack_sequences",
+    # round 3 additions
+    "knn_graph",
+    "sparse_cosine_pairs",
+    "dup_span_profile",
+    "url_canonical_hosts",
+    "kmeans_embeddings",
 ]
 
 
