@@ -3618,6 +3618,224 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.kmeans_fit(_t(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "dedup_canonical",
+    oracle=f"""
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(pick) AS BIGINT) AS canonical_doc,
+           CAST(MAX(n_chars) AS BIGINT) AS kept_chars,
+           CAST(COUNT(*) - 1 AS BIGINT) AS dropped_docs
+    FROM (
+      SELECT cc.cluster_id, d.n_chars,
+             FIRST_VALUE(d.doc_id) OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY d.n_chars DESC, d.doc_id ASC) AS pick
+      FROM ({D.oracle_cc_clusters_sql(D.oracle_minhash_lsh_pairs_sql(**_CC_PAIRS_KW))}) cc
+      JOIN documents d ON d.doc_id = cc.doc_id)
+    GROUP BY cluster_id
+    HAVING COUNT(*) > 1
+    """,
+    doc="Canonical-document selection — the step a dedup pipeline runs "
+        "AFTER clustering: within each near-dup cluster keep the "
+        "longest member (ties to the lower id), report what was "
+        "dropped. Composes cc_clusters (min-label propagation, "
+        "recursive-CTE oracle) with a rank window PARTITIONED BY the "
+        "high-cardinality cluster id; singleton clusters are filtered "
+        "before the window so the ranked relation is only the "
+        "near-dup subset (tiny vs the corpus).",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, **_CC_PAIRS_KW)
+    cc = D.cc_clusters(docs, pairs)
+    # only multi-member clusters reach the rank window: the ranked
+    # relation is the near-dup subset, not the corpus (semantics
+    # unchanged — singletons are dropped by the n_members > 1 filter
+    # anyway)
+    multi = (
+        cc.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("cluster_id")
+        .distinct()
+    )
+    members = cc.join(multi, "cluster_id", "left_semi").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = members.withColumn(
+        "pick", F.first("doc_id").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("pick").alias("canonical_doc"),
+            F.max("n_chars").alias("kept_chars"),
+            (F.count(F.lit(1)) - 1).alias("dropped_docs"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+_FAIR_TOPK = 100
+
+
+@query(
+    "frontier_fair_topk",
+    oracle=f"""
+    WITH raw AS (
+      SELECT 'https://host' || CAST(user_id % 37 AS VARCHAR)
+             || '.example.com/p/' || CAST(event_id AS VARCHAR) AS url,
+             'host' || CAST(user_id % 37 AS VARCHAR) || '.example.com'
+               AS host,
+             value AS prio
+      FROM events),
+    ranked AS (
+      SELECT url, host, prio,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY host ORDER BY prio DESC, url ASC
+             ) AS BIGINT) AS host_rank
+      FROM raw)
+    SELECT url, host, host_rank
+    FROM ranked
+    ORDER BY host_rank ASC, host ASC, url ASC
+    LIMIT {_FAIR_TOPK}
+    """,
+    doc="Host-fair frontier interleave — the scheduling discipline "
+        "that keeps a politeness-limited crawl from starving: each "
+        "URL gets a per-host rank (row_number over the host "
+        "partition, priority-ordered), and the global dispatch order "
+        "is (host_rank, host) so wave k takes one URL from every "
+        "live host before any host gets its (k+1)-th. The window "
+        "partitions on the high-cardinality host key and the global "
+        "order is consumed through a top-k — TakeOrderedAndProject, "
+        "never a corpus-wide sort.",
+)
+def q_frontier_fair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("host"), (F.col("user_id") % 37).cast("string"),
+        F.lit(".example.com"),
+    )
+    raw = ev.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        host.alias("host"),
+        F.col("value").alias("prio"),
+    )
+    w = W.partitionBy("host").orderBy(F.desc("prio"), F.asc("url"))
+    return (
+        raw.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .select("url", "host", "host_rank")
+        .orderBy(F.asc("host_rank"), F.asc("host"), F.asc("url"))
+        .limit(_FAIR_TOPK)
+    )
+
+
+_BM25_TERMS = ("spark", "table", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _e(x: float) -> str:
+    """Inject a float constant identically into Spark SQL and DuckDB
+    (decimal literals parse as engine-scaled DECIMALs; e-notation is
+    IEEE double on both)."""
+    return format(x, ".20e")
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    lens AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf
+      FROM toks, UNNEST(w) AS u(t)
+      WHERE t IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, t),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    idf AS (
+      SELECT t, ln((s.n_docs - df + {_e(0.5)}) / (df + {_e(0.5)})
+                   + {_e(1.0)}) AS idf
+      FROM df CROSS JOIN stats s),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(idf.idf * tf.tf * ({_e(_BM25_K1 + 1.0)})
+                 / (tf.tf + {_e(_BM25_K1)}
+                    * ({_e(1.0 - _BM25_B)}
+                       + {_e(_BM25_B)} * l.dl / s.avgdl))) AS score
+      FROM tf
+      JOIN idf USING (t)
+      JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND(score, 4) AS score
+    FROM scored
+    ORDER BY ROUND(score, 4) DESC, doc_id ASC
+    LIMIT {_BM25_TOPK}
+    """,
+    doc=f"BM25 keyword retrieval (Robertson-Sparck Jones weighting, "
+        f"k1={_BM25_K1}, b={_BM25_B}) for the query terms "
+        f"{_BM25_TERMS}: the lexical-search half of a hybrid "
+        f"retrieval stack next to the ANN queries. The isin filter "
+        f"lands directly on the exploded token (query-vocabulary "
+        f"candidate set, not the corpus vocabulary); df/idf and the "
+        f"(n_docs, avgdl) stats are broadcast-scale; top-k is "
+        f"TakeOrderedAndProject. Constants injected in e-notation so "
+        f"both engines score with the same IEEE doubles.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.spread(docs).select("doc_id", D.tokens_col("text").alias("w"))
+    lens = toks.select("doc_id", F.size("w").alias("dl"))
+    lens = tracked_cache(lens)
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("t"))
+        .filter(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tracked_cache(tf)
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = df.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    k1 = F.lit(_BM25_K1)
+    term = F.col("idf") * F.col("tf") * F.lit(_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + k1 * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(idf), "t")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -3648,6 +3866,7 @@ _DRIVER_WINDOW_FIRST = [
     "knn_graph", "hll_by_source", "vocab_jaccard_sources",
     "sparse_cosine_pairs", "dup_span_profile", "gopher_quality_filter",
     "pii_scan", "url_canonical_hosts", "kmeans_embeddings",
+    "dedup_canonical", "frontier_fair_topk", "bm25_topk",
 ]
 
 

@@ -5,6 +5,7 @@ from .jobs import (
     stream_extract,
     stream_fetch_rate,
     stream_frontier_foreachbatch,
+    stream_hll_registers,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "stream_extract",
     "stream_fetch_rate",
     "stream_frontier_foreachbatch",
+    "stream_hll_registers",
 ]

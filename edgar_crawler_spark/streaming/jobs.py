@@ -264,3 +264,61 @@ def stream_attribution(
         F.col("p_user").alias("user_id"),
         "purchase_id", "purchase_ts", "view_id", "view_ts",
     )
+
+
+def stream_hll_registers(
+    docs: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    ts_col: str = "event_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed approximate-distinct over a token stream: per
+    event-time window, the 512 HyperLogLog registers of the tokens
+    seen — the streaming dual of the batch hll_distinct /
+    hll_by_source queries, with the SAME md5/bucket/rho contract, so
+    a window's streaming registers are bit-identical to running the
+    batch sketch over that window's rows (asserted in
+    tests/test_streaming_multimodal.py).
+
+    Why this shape at web scale: a distinct-count over a crawl stream
+    cannot keep the distinct SET in the state store; here state per
+    open window is at most HLL_M register rows (max-merged
+    incrementally across micro-batches), each window emits exactly
+    once when the watermark passes its close (append mode), and the
+    emitted register tables stay MERGEABLE — downstream can max-merge
+    windows into hours/days without revisiting the stream.
+    """
+    from ..operators.sketch import HLL_M, HLL_P
+
+    toks = (
+        docs.withWatermark(ts_col, watermark)
+        .select(
+            ts_col,
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("t"),
+        )
+    )
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    hashed = toks.select(ts_col, h.alias("_h"))
+    w = F.shiftright(F.col("_h"), HLL_P)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(52)).otherwise(F.lit(52) - bitlen)
+    return (
+        hashed.select(
+            ts_col, (F.col("_h") % HLL_M).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy(F.window(ts_col, window).alias("win"), F.col("bucket"))
+        .agg(F.max("rho").alias("reg"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "bucket",
+            "reg",
+        )
+    )

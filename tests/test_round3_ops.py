@@ -549,3 +549,146 @@ class TestKmeans:
             if prev is not None:
                 assert inertia <= prev + 1e-6, iters
             prev = inertia
+
+
+class TestDedupCanonical:
+    def test_planted_duplicate_groups(self, spark, tmp_path):
+        from edgar_crawler_spark.queries import QUERIES
+
+        rng = random.Random(61)
+        vocab = [f"u{i}" for i in range(400)]
+
+        def fresh_text(n):
+            return " ".join(rng.choice(vocab) for _ in range(n))
+
+        docs = []
+        # 3 planted groups of exact duplicates (sizes 3, 2, 2)
+        g1, g2, g3 = fresh_text(30), fresh_text(25), fresh_text(40)
+        for i, t in [(0, g1), (1, g1), (2, g1), (3, g2), (4, g2),
+                     (5, g3), (6, g3)]:
+            docs.append((i, "s", t, len(t)))
+        # plus unique docs (distinct vocab draws, no near-dups)
+        for i in range(7, 60):
+            t = fresh_text(20)
+            docs.append((i, "s", t, len(t)))
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string, n_chars long"
+        ).coalesce(2).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        got = {
+            r.cluster_id: (r.n_members, r.canonical_doc, r.kept_chars,
+                           r.dropped_docs)
+            for r in QUERIES["dedup_canonical"].fn(spark, str(tmp_path)).collect()
+        }
+        assert got[0] == (3, 0, len(g1), 2)
+        assert got[3] == (2, 3, len(g2), 1)
+        assert got[5] == (2, 5, len(g3), 1)
+        # no singleton clusters reported
+        assert all(v[0] > 1 for v in got.values())
+
+    def test_longest_member_wins(self, spark, tmp_path):
+        from edgar_crawler_spark.queries import QUERIES
+
+        # two docs, identical token set => near-dup pair; second is
+        # longer (padded with repeated tokens) so it must be canonical
+        t1 = "alpha beta gamma delta epsilon zeta eta theta"
+        t2 = t1 + " theta theta theta"
+        docs = [(0, "s", t1, len(t1)), (1, "s", t2, len(t2))]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        rows = QUERIES["dedup_canonical"].fn(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.cluster_id, r.n_members, r.canonical_doc) == (0, 2, 1)
+
+
+class TestFrontierFairTopk:
+    def test_matches_python_mirror(self, spark, tmp_path):
+        import datetime as dt
+
+        from edgar_crawler_spark.queries import _FAIR_TOPK, QUERIES
+
+        rng = random.Random(67)
+        base = dt.datetime(2024, 1, 1)
+        events = [
+            (e, base, rng.randrange(200), "view", round(rng.uniform(0, 50), 2), "{}")
+            for e in range(3000)
+        ]
+        spark.createDataFrame(
+            events,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = [
+            (r.url, r.host, r.host_rank)
+            for r in QUERIES["frontier_fair_topk"].fn(
+                spark, str(tmp_path)
+            ).collect()
+        ]
+        rows = []
+        for e, _, u, _t, v, _p in events:
+            host = f"host{u % 37}.example.com"
+            rows.append((f"https://{host}/p/{e}", host, v))
+        by_host: dict[str, list] = {}
+        for url, host, v in rows:
+            by_host.setdefault(host, []).append((url, v))
+        expected = []
+        for host, urls in by_host.items():
+            urls.sort(key=lambda t: (-t[1], t[0]))
+            for rank, (url, _v) in enumerate(urls, start=1):
+                expected.append((url, host, rank))
+        expected.sort(key=lambda t: (t[2], t[1], t[0]))
+        assert sorted(got) == sorted(expected[:_FAIR_TOPK])
+        # fairness: within the first |hosts| rows, every host appears
+        # at most once
+        hosts_in_first = [h for _, h, r in expected[:37] if r == 1]
+        assert len(set(hosts_in_first)) == len(hosts_in_first)
+
+
+class TestBm25:
+    def test_matches_python_mirror(self, spark, tmp_path):
+        from edgar_crawler_spark.queries import (
+            _BM25_B,
+            _BM25_K1,
+            _BM25_TERMS,
+            _BM25_TOPK,
+            QUERIES,
+        )
+
+        rng = random.Random(71)
+        vocab = [f"w{i}" for i in range(40)] + list(_BM25_TERMS)
+        docs = [
+            (i, "s", " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 60))))
+            for i in range(200)
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = [
+            (r.doc_id, r.score)
+            for r in QUERIES["bm25_topk"].fn(spark, str(tmp_path)).collect()
+        ]
+        toks = {i: _py_tokens(t) for i, _, t in docs}
+        n_docs = len(docs)
+        avgdl = sum(len(w) for w in toks.values()) / n_docs
+        dfreq = {
+            t: sum(1 for w in toks.values() if t in w) for t in _BM25_TERMS
+        }
+        scores = {}
+        for i, w in toks.items():
+            s = 0.0
+            for t in _BM25_TERMS:
+                tf = w.count(t)
+                if tf == 0 or dfreq[t] == 0:
+                    continue
+                idf = math.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+                s += (
+                    idf * tf * (_BM25_K1 + 1.0)
+                    / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * len(w) / avgdl))
+                )
+            if s > 0:
+                scores[i] = _r4(s)
+        expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got == expected[:_BM25_TOPK]

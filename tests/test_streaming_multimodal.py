@@ -473,3 +473,105 @@ class TestStreamCorpusIngest:
         n = ingest_batch(spark, store, replayed)
         assert n == 0
         assert read_corpus(spark, store).count() == 3
+
+
+class TestStreamHll:
+    def test_streaming_registers_bit_identical_to_batch(self, spark, tmp_path):
+        """Per-window streaming HLL registers must equal the batch
+        sketch run over that window's rows — same md5/bucket/rho
+        contract, max-merged across micro-batches — and the window
+        estimates must land within HLL error of the exact counts."""
+        import random
+        import time as _time
+        from datetime import datetime
+
+        from edgar_crawler_spark.operators import sketch as SK
+        from edgar_crawler_spark.streaming import stream_hll_registers
+
+        src = str(tmp_path / "hll_src")
+        out = str(tmp_path / "hll_out")
+        ckpt = str(tmp_path / "hll_ckpt")
+        schema = "doc_id long, text string, event_ts timestamp"
+
+        def ts(s_):
+            return datetime.fromisoformat(s_)
+
+        rng = random.Random(73)
+
+        def mk_text(n, vocab):
+            return " ".join(f"tok{rng.randrange(vocab)}" for _ in range(n))
+
+        # window A (00:00) rows split across two files/micro-batches —
+        # the cross-batch max-merge is what's under test; window B at
+        # 00:01; a far sentinel advances the watermark past both.
+        rows_a1 = [(i, mk_text(40, 300), ts("2024-01-01 00:00:05"))
+                   for i in range(8)]
+        rows_a2 = [(i + 8, mk_text(40, 300), ts("2024-01-01 00:00:40"))
+                   for i in range(8)]
+        rows_b = [(i + 16, mk_text(25, 80), ts("2024-01-01 00:01:30"))
+                  for i in range(6)]
+        spark.createDataFrame(rows_a1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(2)  # distinct mtimes => deterministic batch order
+        spark.createDataFrame(
+            rows_a2 + rows_b, schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(2)
+        spark.createDataFrame(
+            [(99, "sentinel", ts("2024-01-01 01:00:00"))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_hll_registers(
+                stream, window="1 minute", watermark="1 minute"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+        got = spark.read.parquet(out)
+        from pyspark.sql import functions as F
+
+        wins = {
+            r.win_start.isoformat(): {
+                (x.bucket, x.reg)
+                for x in got.filter(F.col("win_start") == r.win_start).collect()
+            }
+            for r in got.select("win_start").distinct().collect()
+        }
+        assert set(wins) == {"2024-01-01T00:00:00", "2024-01-01T00:01:00"}
+
+        for key, rows in (
+            ("2024-01-01T00:00:00", rows_a1 + rows_a2),
+            ("2024-01-01T00:01:00", rows_b),
+        ):
+            batch = spark.createDataFrame(rows, schema).select(
+                F.explode(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda x: x != "",
+                    )
+                ).alias("t")
+            )
+            expected = {
+                (r.bucket, r.reg)
+                for r in SK.hll_registers(batch, "t").collect()
+            }
+            assert wins[key] == expected, key
+            exact = batch.distinct().count()
+            est = SK.hll_estimate_cols(
+                spark.createDataFrame(
+                    [(b, g) for b, g in wins[key]], "bucket long, reg long"
+                )
+            ).collect()[0].est
+            assert abs(est - exact) / exact < 0.15, (key, est, exact)

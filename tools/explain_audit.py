@@ -234,6 +234,27 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"partial_count", r"hashpartitioning\(cl#\d+"],
      [r"Join|CartesianProduct",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # canonical-doc selection: the rank window partitions on the
+    # high-cardinality cluster id (never a corpus-wide sort), and only
+    # the multi-member (near-dup) subset reaches it via the semi-join
+    ("dedup_canonical",
+     [r"\(\d+\) Window", r"hashpartitioning\(cluster_id#\d+L",
+      r"LeftSemi"],
+     [r"SinglePartition", r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # host-fair interleave: per-host rank window + global top-k that
+    # compiles to TakeOrderedAndProject — no global sort of the
+    # frontier
+    ("frontier_fair_topk",
+     [r"TakeOrderedAndProject", r"hashpartitioning\(host#\d+"],
+     [r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # BM25: idf/stats re-enter as broadcasts, candidate tf relation is
+    # query-vocabulary-bounded, top-k never a global sort
+    ("bm25_topk",
+     [r"TakeOrderedAndProject", r"BroadcastHashJoin",
+      r"InMemoryTableScan"],
+     [r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
