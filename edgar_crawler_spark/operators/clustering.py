@@ -116,7 +116,7 @@ def kmeans_fit(
                 F.col("cl").cast("int").alias("cluster"),
                 "n_points",
                 "mean_dist",
-                csum.getItem(F.col("cl")).alias("centroid_sum"),
+                csum[F.col("cl")].alias("centroid_sum"),
             )
         )
     finally:

@@ -440,6 +440,12 @@ def knn_graph(
     id — high-cardinality, so the rank never serializes. Ordering is
     on the ROUNDED cosine (ties broken by neighbor id) so the ranking
     is reproducible across engines and runs.
+
+    nbits policy (same as lsh_neardup_pairs): candidates per vector
+    ~ N(nbits+1)/2^nbits, so nbits must track log2(N) at ingest —
+    +3 bits per 10x vectors keeps bucket occupancy (and the scored
+    pair count per vector) constant. Measured in BENCH/BASELINE.md's
+    10x table.
     """
     from .dedup import spread  # noqa: PLC0415
 

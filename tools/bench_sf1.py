@@ -56,6 +56,22 @@ QUERY_SET = [
     "ngram_contamination",
     "vocab_topk",
     "hll_distinct",
+    # round 3 additions
+    "knn_graph",
+    "sparse_cosine_pairs",
+    "dup_span_profile",
+    "hll_by_source",
+    "url_canonical_hosts",
+    "kmeans_embeddings",
+    "bm25_topk",
+    # dedup_canonical is deliberately NOT in the 10x set: its pair
+    # stage verifies UNIGRAM token-set jaccard >= 0.8, and this toy
+    # corpus's ~30-word vocabulary makes nearly every doc pair a TRUE
+    # near-dup at that shingle unit (the r02 verdict's "24% of all
+    # pairs" note) — so the ground-truth edge set itself is O(N^2)
+    # at 10x (~3e8 pairs), which no exact algorithm can avoid
+    # emitting. jaccard_bigram_pairs (bigram shingles, sparse truth)
+    # is the 10x-representative for the verify-join shape.
 ]
 
 
@@ -95,19 +111,29 @@ def force(df) -> None:
 
 def main() -> None:
     rebuild = "--rebuild" in sys.argv
+    # 10x data in ONE JVM: a real cluster spreads this across
+    # executors with 8-64g each; give the single local JVM the
+    # equivalent headroom (the dup-dense 10x corpus unrolls ~150MB
+    # cache blocks per partition in the minhash verify stage, and 32
+    # concurrent tasks x 150MB does not fit the 8g default)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = get_spark("bench-sf1", cores=32, shuffle_partitions=32)
     build(spark, rebuild)
 
     force(QUERIES["count_by_type"].fn(spark, SRC))  # warm
     out = {}
+    from edgar_crawler_spark.cachereg import release_caches
+
     for name in QUERY_SET:
         q = QUERIES[name]
         t0 = time.perf_counter()
         force(q.fn(spark, SRC))
         t_small = time.perf_counter() - t0
+        release_caches()
         t0 = time.perf_counter()
         force(q.fn(spark, DST))
         t_big = time.perf_counter() - t0
+        release_caches()
         out[name] = {
             "sf0.1_sec": round(t_small, 3),
             "sf1.0_sec": round(t_big, 3),
@@ -132,6 +158,18 @@ def main() -> None:
     out["embedding_neardup_nbits9_sf1.0"] = {"sf1.0_sec": round(t, 3)}
     print(f"{'embedding_neardup(nbits=9)':28s} sf1.0 {t:7.2f}s",
           file=sys.stderr)
+
+    # same lever for the kNN graph: candidates/vector ~ N(nbits+1)/2^nbits,
+    # so nbits tracks log2(N) at ingest (+3 bits at 10x)
+    from edgar_crawler_spark.cachereg import release_caches  # noqa: PLC0415
+    from edgar_crawler_spark.operators.similarity import knn_graph  # noqa: PLC0415
+
+    t0 = time.perf_counter()
+    force(knn_graph(load_table(spark, DST, "embeddings"), k=5, nbits=9, dim=64))
+    t = time.perf_counter() - t0
+    release_caches()
+    out["knn_graph_nbits9_sf1.0"] = {"sf1.0_sec": round(t, 3)}
+    print(f"{'knn_graph(nbits=9)':28s} sf1.0 {t:7.2f}s", file=sys.stderr)
     print(json.dumps(out))
 
 
