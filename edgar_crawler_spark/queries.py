@@ -3836,6 +3836,135 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_D = 0.85      # damping
+_PR_ITERS = 3
+_PR_MOD = 200     # synthetic node-id space
+_PR_TOPK = 20
+
+
+def _pr_edges_sql() -> str:
+    return f"""
+      SELECT DISTINCT user_id % {_PR_MOD} AS src,
+             (user_id * 7 + event_id) % {_PR_MOD} AS dst
+      FROM events
+      WHERE user_id % {_PR_MOD} <> (user_id * 7 + event_id) % {_PR_MOD}"""
+
+
+def _oracle_pagerank_sql() -> str:
+    """Unrolled-iteration DuckDB PageRank mirror: same damping,
+    dangling-mass redistribution, and 10-dp per-iteration rounding."""
+    d = _e(_PR_D)
+    omd = _e(1.0 - _PR_D)
+    parts = [f"""
+    e AS ({_pr_edges_sql()}),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+               FROM e GROUP BY src),
+    r0 AS (SELECT node, ROUND(1.0 / nn.n, 10) AS r
+           FROM nodes CROSS JOIN nn)"""]
+    for i in range(_PR_ITERS):
+        nxt = i + 1
+        parts.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, SUM(r{i}.r / o.deg) AS contrib
+      FROM e JOIN r{i} ON r{i}.node = e.src
+             JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst),
+    dm{i} AS (
+      SELECT COALESCE(SUM(r.r), 0.0) AS mass
+      FROM r{i} r LEFT JOIN outdeg o ON o.src = r.node
+      WHERE o.src IS NULL),
+    r{nxt} AS (
+      SELECT n.node,
+             ROUND(({omd}) / nn.n
+                   + ({d}) * (COALESCE(c.contrib, 0.0)
+                              + dm{i}.mass / nn.n), 10) AS r
+      FROM nodes n
+      LEFT JOIN c{i} c ON c.node = n.node
+      CROSS JOIN nn CROSS JOIN dm{i})""")
+    return (
+        "WITH" + ",".join(parts) + f"""
+    SELECT node, ROUND(r, 6) AS rank
+    FROM r{_PR_ITERS}
+    ORDER BY ROUND(r, 6) DESC, node ASC
+    LIMIT {_PR_TOPK}
+    """
+    )
+
+
+@query(
+    "pagerank_topk",
+    oracle=_oracle_pagerank_sql(),
+    doc=f"PageRank (damping {_PR_D}, {_PR_ITERS} unrolled rounds, "
+        "dangling mass redistributed uniformly) over a deterministic "
+        "event-derived interaction graph; top-20 nodes. The iterative-"
+        "GRAPH dual of the k-means loop: per round, one edges-to-ranks "
+        "equi-join + one sum aggregate keyed on the high-cardinality "
+        "dst node; the dangling mass and 1/N are 1-row broadcast "
+        "scalars; nothing driver-side ever scales with the graph. "
+        "Per-iteration 10-dp rounding pins both engines to the same "
+        "rank sequence (sum order differs at ~1e-16; the contract "
+        "absorbs it); final top-k is TakeOrderedAndProject.",
+)
+def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    src = (F.col("user_id") % _PR_MOD).alias("src")
+    dst = ((F.col("user_id") * 7 + F.col("event_id")) % _PR_MOD).alias("dst")
+    edges = (
+        ev.select(src, dst)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = tracked_cache(edges)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = tracked_cache(nodes)
+    n = float(nodes.count())  # one scalar to the driver
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    outdeg = tracked_cache(outdeg)
+    ranks = nodes.withColumn("r", F.round(F.lit(1.0 / n), 10))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(
+                outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))  # 1-row dangling mass
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - _PR_D) / n)
+                    + F.lit(_PR_D)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("mass") / F.lit(n)
+                    ),
+                    10,
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select("node", F.round("r", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(_PR_TOPK)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -3867,6 +3996,7 @@ _DRIVER_WINDOW_FIRST = [
     "sparse_cosine_pairs", "dup_span_profile", "gopher_quality_filter",
     "pii_scan", "url_canonical_hosts", "kmeans_embeddings",
     "dedup_canonical", "frontier_fair_topk", "bm25_topk",
+    "pagerank_topk",
 ]
 
 

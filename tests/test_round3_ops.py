@@ -692,3 +692,72 @@ class TestBm25:
                 scores[i] = _r4(s)
         expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         assert got == expected[:_BM25_TOPK]
+
+
+class TestPagerank:
+    def test_matches_python_mirror(self, spark, tmp_path):
+        import datetime as dt
+        import decimal
+
+        from edgar_crawler_spark.queries import (
+            _PR_D,
+            _PR_ITERS,
+            _PR_MOD,
+            _PR_TOPK,
+            QUERIES,
+        )
+
+        def rnd(x, places):
+            return float(
+                decimal.Decimal(repr(x)).quantize(
+                    decimal.Decimal(1).scaleb(-places),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+
+        rng = random.Random(79)
+        base = dt.datetime(2024, 1, 1)
+        events = [
+            (e, base, rng.randrange(500), "view", 0.0, "{}")
+            for e in range(2500)
+        ]
+        spark.createDataFrame(
+            events,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = [
+            (r.node, r.rank)
+            for r in QUERIES["pagerank_topk"].fn(spark, str(tmp_path)).collect()
+        ]
+        edges = {
+            (u % _PR_MOD, (u * 7 + e) % _PR_MOD)
+            for e, _, u, *_r in events
+            if u % _PR_MOD != (u * 7 + e) % _PR_MOD
+        }
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        n = float(len(nodes))
+        outdeg: dict[int, int] = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        r = {v: rnd(1.0 / n, 10) for v in nodes}
+        for _ in range(_PR_ITERS):
+            contrib: dict[int, float] = {}
+            for s, d_ in edges:
+                contrib[d_] = contrib.get(d_, 0.0) + r[s] / outdeg[s]
+            dangling = sum(r[v] for v in nodes if v not in outdeg)
+            r = {
+                v: rnd(
+                    (1.0 - _PR_D) / n
+                    + _PR_D * (contrib.get(v, 0.0) + dangling / n),
+                    10,
+                )
+                for v in nodes
+            }
+        ranked = sorted(
+            ((v, rnd(x, 6)) for v, x in r.items()),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == ranked[:_PR_TOPK]
+        # probability-mass sanity: full ranks sum to ~1
+        assert abs(sum(r.values()) - 1.0) < 1e-6

@@ -255,6 +255,15 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
       r"InMemoryTableScan"],
      [r"\+- Sort .*global=true",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # PageRank: cached edge/node/outdeg dims reused across the three
+    # unrolled rounds; dangling mass is a broadcast 1-row scalar; the
+    # final top-k compiles to TakeOrderedAndProject, never a global
+    # sort; no python anywhere in the loop
+    ("pagerank_topk",
+     [r"TakeOrderedAndProject", r"InMemoryTableScan",
+      r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
+     [r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
