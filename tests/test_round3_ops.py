@@ -761,3 +761,25 @@ class TestPagerank:
         assert got == ranked[:_PR_TOPK]
         # probability-mass sanity: full ranks sum to ~1
         assert abs(sum(r.values()) - 1.0) < 1e-6
+
+
+class TestDriverWindow:
+    def test_uncertified_queries_inside_first_50_slots(self):
+        """The round driver certifies only the FIRST 50 registered
+        queries (rows+schema+hash vs DuckDB). Every query without a
+        driver-green CORRECTNESS row from r01/r02 must sit inside that
+        window, and every registered query must carry an oracle."""
+        from edgar_crawler_spark.queries import (
+            _DRIVER_WINDOW_FIRST,
+            QUERIES,
+        )
+
+        names = list(QUERIES)
+        window = set(names[:50])
+        missing = [n for n in _DRIVER_WINDOW_FIRST if n not in window]
+        assert not missing, f"outside the driver window: {missing}"
+        assert len(_DRIVER_WINDOW_FIRST) <= 50
+        no_oracle = [n for n, q in QUERIES.items() if q.oracle is None]
+        assert not no_oracle, f"queries without oracles: {no_oracle}"
+        # registration order is exactly: window-first list, then the rest
+        assert names[: len(_DRIVER_WINDOW_FIRST)] == _DRIVER_WINDOW_FIRST
