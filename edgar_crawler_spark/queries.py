@@ -3965,6 +3965,61 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WS_K = 50
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+             (CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) + 1)
+               / CAST(2 ** 60 AS DOUBLE) AS u
+      FROM documents WHERE n_chars > 0),
+    keyed AS (
+      SELECT doc_id, CAST(w AS BIGINT) AS weight,
+             ROUND(ln(u) / w, 10) AS key
+      FROM u)
+    SELECT doc_id, weight, key
+    FROM keyed
+    ORDER BY key DESC, doc_id ASC
+    LIMIT {_WS_K}
+    """,
+    doc=f"Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+        f"A-ES, derandomized): each doc gets key = ln(u)/w with u a "
+        f"deterministic md5-derived uniform and w = n_chars; the top-"
+        f"{_WS_K} keys ARE a weight-proportional sample — the data-"
+        f"mixing sampler (sample long docs proportionally more) that "
+        f"composes with mixture_weights. Distributed shape: the key "
+        f"is a scan projection and the sample is a top-k — each "
+        f"partition contributes its local top-{_WS_K} "
+        f"(TakeOrderedAndProject), so the corpus never shuffles and "
+        f"no RNG state exists to coordinate; re-running on a grown "
+        f"corpus preserves every surviving doc's key (stable "
+        f"priority sampling, Cohen-Kaplan bottom-k style).",
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + 1) / F.lit(float(1 << 60))
+    w = F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round(F.log(u) / w, 10).alias("key"),
+        )
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(_WS_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -3996,7 +4051,7 @@ _DRIVER_WINDOW_FIRST = [
     "sparse_cosine_pairs", "dup_span_profile", "gopher_quality_filter",
     "pii_scan", "url_canonical_hosts", "kmeans_embeddings",
     "dedup_canonical", "frontier_fair_topk", "bm25_topk",
-    "pagerank_topk",
+    "pagerank_topk", "weighted_sample_topk",
 ]
 
 

@@ -783,3 +783,46 @@ class TestDriverWindow:
         assert not no_oracle, f"queries without oracles: {no_oracle}"
         # registration order is exactly: window-first list, then the rest
         assert names[: len(_DRIVER_WINDOW_FIRST)] == _DRIVER_WINDOW_FIRST
+
+
+class TestWeightedSample:
+    def test_matches_python_mirror_and_weight_bias(self, spark, tmp_path):
+        import hashlib
+
+        from edgar_crawler_spark.queries import _WS_K, QUERIES
+
+        # 100 heavy docs (w=2000) + 400 light (w=100)
+        docs = [
+            (i, "s", "x", 2000 if i < 100 else 100) for i in range(500)
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = [
+            (r.doc_id, r.weight, r.key)
+            for r in QUERIES["weighted_sample_topk"].fn(
+                spark, str(tmp_path)
+            ).collect()
+        ]
+        keyed = []
+        for i, _, _, w in docs:
+            h = int(hashlib.md5(f"ws|{i}".encode()).hexdigest()[:15], 16)
+            u = (h + 1) / float(1 << 60)
+            keyed.append((i, w, _r(math.log(u) / w, 10)))
+        keyed.sort(key=lambda t: (-t[2], t[0]))
+        assert got == keyed[:_WS_K]
+        # weight bias: heavy docs are 20% of the corpus but carry 5x
+        # weight => expect them heavily overrepresented in the sample
+        heavy = sum(1 for _, w, _k in got if w == 2000)
+        assert heavy > _WS_K // 2, heavy
+
+
+def _r(x: float, places: int) -> float:
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-places),
+            rounding=decimal.ROUND_HALF_UP,
+        )
+    )

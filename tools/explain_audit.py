@@ -264,6 +264,12 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
       r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
      [r"\+- Sort .*global=true",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # weighted sampling: key in the scan projection, sample = top-k —
+    # the corpus never shuffles (no Exchange at all)
+    ("weighted_sample_topk",
+     [r"TakeOrderedAndProject", r"Scan parquet"],
+     [r"Exchange", r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
