@@ -17,27 +17,58 @@ still yields correct results).
 
 from __future__ import annotations
 
+import threading
+
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame
 
+# guards _LIVE: queries may run from concurrent harness threads
+# (ADVICE r03 #2 — the module-global list was not thread-safe)
+_LOCK = threading.Lock()
 _LIVE: list[DataFrame] = []
 
 
 def tracked_cache(df: DataFrame) -> DataFrame:
     """`df.cache()` that registers the handle for later release."""
     df = df.cache()
-    _LIVE.append(df)
+    with _LOCK:
+        _LIVE.append(df)
     return df
 
 
 def release_caches() -> int:
     """Unpersist every tracked cache; returns how many were released.
-    Call after the consumer has materialized the query result."""
+    Call after the consumer has materialized the query result.
+
+    Only the stopped-session/JVM-gone family is swallowed (there is
+    nothing left to release then); any other unpersist failure — e.g.
+    a wedged executor surfacing as a genuine Py4J error mid-release —
+    re-raises after draining the registry, instead of being silently
+    counted as released (ADVICE r03 #2)."""
     n = 0
-    while _LIVE:
-        df = _LIVE.pop()
+    first_err: Exception | None = None
+    while True:
+        with _LOCK:
+            if not _LIVE:
+                break
+            df = _LIVE.pop()
         try:
             df.unpersist()
             n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
+        except (Py4JError, RuntimeError, AttributeError) as e:
+            # stopped SparkContext raises RuntimeError/AttributeError
+            # (None _jsc) or a Py4J "connection refused"; a live-session
+            # Py4J failure is real — keep draining, re-raise the first
+            msg = str(e).lower()
+            stopped = (
+                "stopped" in msg
+                or "shut down" in msg
+                or "connection refused" in msg
+                or "nonetype" in msg
+                or isinstance(e, AttributeError)
+            )
+            if not stopped and first_err is None:
+                first_err = e
+    if first_err is not None:
+        raise first_err
     return n

@@ -21,14 +21,26 @@ same sequential-fold dot product the ANN oracles already rely on.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cachereg import tracked_cache
 from .similarity import dot_col
 
 KMEANS_K = 4
 KMEANS_ITERS = 3
 KMEANS_DIM = 64
+
+
+def _rhu(x: float, places: int) -> float:
+    """Driver-side decimal ROUND_HALF_UP — the same half-away-from-zero
+    semantics as Spark's F.round and DuckDB's ROUND, so the driver-held
+    centroid literals stay inside the cross-engine rounding contract
+    (ADVICE r03 #3: builtin round() is banker's half-to-even)."""
+    q = Decimal(1).scaleb(-places)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _sqdist(emb: Column, pp: Column, centroid: list[float]) -> Column:
@@ -74,11 +86,11 @@ def kmeans_fit(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("emb"),
     ).withColumn("pp", dot_col(F.col("emb"), F.col("emb")))
-    pts = pts.cache()
+    pts = tracked_cache(pts)  # registry-routed; released in finally too
     try:
         seed_rows = pts.orderBy("vec_id").limit(k).collect()  # k rows
         centroids = {
-            i: [round(float(x), 6) for x in r.emb]
+            i: [_rhu(float(x), 6) for x in r.emb]
             for i, r in enumerate(seed_rows)
         }
         for _ in range(iters):
@@ -94,14 +106,14 @@ def kmeans_fit(
             for r in new_rows:
                 fresh.setdefault(r.cl, [0.0] * dim)
             for r in new_rows:
-                fresh[r.cl][r.dim] = round(float(r.v), 6)
+                fresh[r.cl][r.dim] = _rhu(float(r.v), 6)
             # an empty cluster keeps its previous centroid
             centroids = {
                 cl: fresh.get(cl, prev) for cl, prev in centroids.items()
             }
         final = _assign(pts, centroids)
         sums = {
-            cl: round(_seq_sum(c), 4) for cl, c in centroids.items()
+            cl: _rhu(_seq_sum(c), 4) for cl, c in centroids.items()
         }
         csum = F.create_map(
             *[x for cl, s in sorted(sums.items()) for x in (F.lit(cl), F.lit(s))]

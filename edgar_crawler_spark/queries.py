@@ -1456,6 +1456,10 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CC_PAIRS_KW = dict(k=8, bands=4, jaccard_threshold=0.8)
+# dedup_canonical runs the production shingle unit (word bigrams):
+# unigrams on a toy vocabulary make the TRUE pair set O(N²) dense
+# (PLANS.md Round 3b); bigrams keep corpus-truth sparse at any scale
+_CANON_PAIRS_KW = dict(k=8, bands=4, jaccard_threshold=0.8, ngram=2)
 
 
 @query(
@@ -2825,6 +2829,11 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r_start"),
     )
     b = b.withColumn("r_end", F.col("r_start") + F.col("n_docs") - 1)
+    # NTILE emits no row for an empty bucket (n < 10 docs): an empty
+    # decile gets r_end = r_start - 1, which would still satisfy the
+    # range join against the last histogram row — drop it first
+    # (ADVICE r03 #1, confirmed with a 7-doc table)
+    b = b.filter(F.col("n_docs") > 0)
     lo = F.col("cum") - F.col("cnt") + 1  # 1-based ranks [lo, cum]
     j = hist.join(
         F.broadcast(b),
@@ -3631,7 +3640,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
              FIRST_VALUE(d.doc_id) OVER (
                PARTITION BY cc.cluster_id
                ORDER BY d.n_chars DESC, d.doc_id ASC) AS pick
-      FROM ({D.oracle_cc_clusters_sql(D.oracle_minhash_lsh_pairs_sql(**_CC_PAIRS_KW))}) cc
+      FROM ({D.oracle_cc_clusters_sql(D.oracle_minhash_lsh_pairs_sql(**_CANON_PAIRS_KW))}) cc
       JOIN documents d ON d.doc_id = cc.doc_id)
     GROUP BY cluster_id
     HAVING COUNT(*) > 1
@@ -3643,11 +3652,14 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recursive-CTE oracle) with a rank window PARTITIONED BY the "
         "high-cardinality cluster id; singleton clusters are filtered "
         "before the window so the ranked relation is only the "
-        "near-dup subset (tiny vs the corpus).",
+        "near-dup subset (tiny vs the corpus). Shingle unit is word "
+        "BIGRAMS (VERDICT r03 #4): on a small-vocabulary corpus "
+        "unigram shingles make the true pair set O(N²); bigrams keep "
+        "the corpus-truth sparse — the production shape.",
 )
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, **_CC_PAIRS_KW)
+    pairs = D.minhash_lsh_pairs(docs, **_CANON_PAIRS_KW)
     cc = D.cc_clusters(docs, pairs)
     # only multi-member clusters reach the rank window: the ranked
     # relation is the near-dup subset, not the corpus (semantics
@@ -3908,6 +3920,29 @@ def _oracle_pagerank_sql() -> str:
         "absorbs it); final top-k is TakeOrderedAndProject.",
 )
 def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = pagerank_ranks(spark, sf_dir, _PR_ITERS)
+    return (
+        ranks.select("node", F.round("r", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(_PR_TOPK)
+    )
+
+
+def pagerank_ranks(
+    spark: SparkSession, sf_dir: str, iters: int = _PR_ITERS
+) -> DataFrame:
+    """Power-iteration PageRank over the event-derived graph.
+
+    Per round: one edges-to-ranks equi-join + one sum aggregate keyed
+    on the high-cardinality dst node. `ranks` is consumed twice per
+    round (contrib join + dangling anti-join), so the loop body ends
+    with a lazy ``localCheckpoint`` — the same per-round lineage cut
+    as the BPE trainer (operators/bpe.py) and connected components
+    (operators/dedup.py). Without it the recompute tree doubles per
+    iteration (2^iters join/agg passes); with it each round is
+    evaluated exactly once and the final plan depth is one round,
+    independent of ``iters`` (pinned by tests/test_round4_ops.py).
+    """
     ev = _t(spark, sf_dir, "events")
     src = (F.col("user_id") % _PR_MOD).alias("src")
     dst = ((F.col("user_id") * 7 + F.col("event_id")) % _PR_MOD).alias("dst")
@@ -3929,7 +3964,7 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outdeg = tracked_cache(outdeg)
     ranks = nodes.withColumn("r", F.round(F.lit(1.0 / n), 10))
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(outdeg, "src")
@@ -3958,11 +3993,10 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return (
-        ranks.select("node", F.round("r", 6).alias("rank"))
-        .orderBy(F.desc("rank"), F.asc("node"))
-        .limit(_PR_TOPK)
-    )
+        # lineage cut: ranks feeds two consumers next round; checkpoint
+        # lazily so the round is computed once and the plan stays flat
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks
 
 
 _WS_K = 50
@@ -4025,33 +4059,35 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The round driver certifies the FIRST 50 registered queries
-# (rows+schema+value-hash vs the DuckDB oracle at sf0.01). VERDICT r02:
-# the 25 round-2 additions had no driver row because they registered
-# after slot 50 — only registration order fixes that. Front-load:
-#   1. the 25 queries with no driver-green round yet,
-#   2. the queries whose PLANS changed this round (re-verification),
-#   3. new round-3 queries,
-# and park the two-round-green veterans (pytest + the local harness
+# (rows+schema+value-hash vs the DuckDB oracle at sf0.01). VERDICT r03
+# ask #2: rotate the window each round so every registered query keeps
+# a fresh driver row within the last two rounds. Front-load:
+#   1. the 39 veterans whose last driver row is r02 (parked behind the
+#      window in r03 while the round-2/3 additions were certified),
+#   2. the queries whose PLANS changed this round (re-verification:
+#      pagerank_topk lineage cut, dedup_canonical bigram shingles,
+#      quality_deciles empty-bucket fix, kmeans_embeddings rounding),
+#   3. new round-4 queries,
+# and park the r03-certified rest (pytest + tools/check_oracles.py
 # still cover them every round) behind the window.
 _DRIVER_WINDOW_FIRST = [
-    # round-2 additions, driver-unchecked in r01/r02
-    "media_resize", "embedding_quantize", "asof_last_view",
-    "ngram_contamination", "vocab_topk", "length_quantiles",
-    "pack_sequences", "stratified_sample", "mixture_weights",
-    "hll_distinct", "cube_status_year", "pivot_status_year",
-    "inverted_index", "props_json_agg", "entity_fuzzy_pairs",
-    "sliding_event_rate", "bpe_pair_counts", "unigram_xent",
-    "dq_profile", "session_window_agg", "rolling_spend",
-    "quality_deciles", "neardup_triangles", "label_centroids",
-    "inverted_index_blocked",
-    # plan changed this round (missing_firms: non-trivial predicate)
-    "missing_firms",
-    # new round-3 queries
-    "knn_graph", "hll_by_source", "vocab_jaccard_sources",
-    "sparse_cosine_pairs", "dup_span_profile", "gopher_quality_filter",
-    "pii_scan", "url_canonical_hosts", "kmeans_embeddings",
-    "dedup_canonical", "frontier_fair_topk", "bm25_topk",
-    "pagerank_topk", "weighted_sample_topk",
+    # veterans: newest driver row is r02 — recertify in r04
+    "missing_years", "pricing_summary", "rollup_type_year",
+    "recent_per_firm", "keep_last_dedup", "priority_topk",
+    "wave_assignment", "sessionize", "union_dedup_merge", "set_except",
+    "filename_derivation", "filename_parse", "seed_list_build",
+    "macrodiscl_score", "macrodiscl_summary", "missing_years_arrays",
+    "dedup_exact", "token_stats", "quality_score", "lang_agreement",
+    "fingerprint_prefix", "dedup_norm_exact", "minhash_lsh_pairs",
+    "simhash_dedup", "jaccard_bigram_pairs", "embedding_neardup",
+    "ann_lsh_topk", "media_decode_meta", "media_frame_sample",
+    "bpeish_token_count", "winnow_fingerprints", "ann_ivf_topk",
+    "ann_cosine_topk", "embedding_norms", "dedup_clusters",
+    "split_assign", "repetition_ratio", "langid_ngram",
+    "idf_doc_score",
+    # plan changed in round 4 — recertify
+    "pagerank_topk", "dedup_canonical", "quality_deciles",
+    "kmeans_embeddings",
 ]
 
 

@@ -5,6 +5,7 @@ in-process Python oracles, independent of the DuckDB harness."""
 from __future__ import annotations
 
 import math
+import os
 import random
 import re
 
@@ -766,9 +767,13 @@ class TestPagerank:
 class TestDriverWindow:
     def test_uncertified_queries_inside_first_50_slots(self):
         """The round driver certifies only the FIRST 50 registered
-        queries (rows+schema+hash vs DuckDB). Every query without a
-        driver-green CORRECTNESS row from r01/r02 must sit inside that
-        window, and every registered query must carry an oracle."""
+        queries (rows+schema+hash vs DuckDB). Rotation invariant
+        (VERDICT r03 #2): every registered query must have a driver
+        row from the PREVIOUS round or sit inside the current window,
+        so r(N-1) ∪ rN covers the whole registry; and every registered
+        query must carry an oracle."""
+        import json
+
         from edgar_crawler_spark.queries import (
             _DRIVER_WINDOW_FIRST,
             QUERIES,
@@ -783,6 +788,16 @@ class TestDriverWindow:
         assert not no_oracle, f"queries without oracles: {no_oracle}"
         # registration order is exactly: window-first list, then the rest
         assert names[: len(_DRIVER_WINDOW_FIRST)] == _DRIVER_WINDOW_FIRST
+        # two-round coverage: previous-round driver rows + this window
+        # must span the whole registry
+        prev = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_r03.json",
+        )
+        if os.path.exists(prev):
+            certified = set(json.load(open(prev))) | window
+            uncovered = [n for n in names if n not in certified]
+            assert not uncovered, f"no driver row in rN-1 ∪ rN: {uncovered}"
 
 
 class TestWeightedSample:

@@ -51,9 +51,11 @@ def main() -> int:
 
     spark = get_spark("oracle_check", cores=8)
     failures = []
+    checked = 0
     for name, q in QUERIES.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = q.fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -103,7 +105,10 @@ def main() -> int:
         else:
             print(f"ok    {name} ({len(s_rows)} rows)")
 
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} queries agree")
+    # denominator = queries actually run (VERDICT r03 nit: a
+    # name-filtered subset used to print len(QUERIES) and read as a
+    # full sweep)
+    print(f"\n{checked - len(failures)}/{checked} queries agree")
     return 1 if failures else 0
 
 

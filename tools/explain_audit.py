@@ -255,14 +255,14 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
       r"InMemoryTableScan"],
      [r"\+- Sort .*global=true",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
-    # PageRank: cached edge/node/outdeg dims reused across the three
-    # unrolled rounds; dangling mass is a broadcast 1-row scalar; the
-    # final top-k compiles to TakeOrderedAndProject, never a global
-    # sort; no python anywhere in the loop
+    # PageRank: each round ends in a localCheckpoint (VERDICT r03 #1 —
+    # the per-round lineage cut), so the FINAL plan reads the last
+    # round's materialized RDD (Scan ExistingRDD), not a 2^iters join
+    # tree; the top-k compiles to TakeOrderedAndProject, never a
+    # global sort; no python anywhere
     ("pagerank_topk",
-     [r"TakeOrderedAndProject", r"InMemoryTableScan",
-      r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
-     [r"\+- Sort .*global=true",
+     [r"TakeOrderedAndProject", r"Scan ExistingRDD"],
+     [r"\+- Sort .*global=true", r"Join",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
     # weighted sampling: key in the scan projection, sample = top-k —
     # the corpus never shuffles (no Exchange at all)
