@@ -3862,7 +3862,7 @@ def _pr_edges_sql() -> str:
       WHERE user_id % {_PR_MOD} <> (user_id * 7 + event_id) % {_PR_MOD}"""
 
 
-def _oracle_pagerank_sql() -> str:
+def _oracle_pagerank_sql(iters: int = _PR_ITERS) -> str:
     """Unrolled-iteration DuckDB PageRank mirror: same damping,
     dangling-mass redistribution, and 10-dp per-iteration rounding."""
     d = _e(_PR_D)
@@ -3875,7 +3875,7 @@ def _oracle_pagerank_sql() -> str:
                FROM e GROUP BY src),
     r0 AS (SELECT node, ROUND(1.0 / nn.n, 10) AS r
            FROM nodes CROSS JOIN nn)"""]
-    for i in range(_PR_ITERS):
+    for i in range(iters):
         nxt = i + 1
         parts.append(f"""
     c{i} AS (
@@ -3898,7 +3898,7 @@ def _oracle_pagerank_sql() -> str:
     return (
         "WITH" + ",".join(parts) + f"""
     SELECT node, ROUND(r, 6) AS rank
-    FROM r{_PR_ITERS}
+    FROM r{iters}
     ORDER BY ROUND(r, 6) DESC, node ASC
     LIMIT {_PR_TOPK}
     """
@@ -4055,6 +4055,431 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 4: iterative-at-depth, crawl-native, and skew-discipline queries
+# ---------------------------------------------------------------------------
+
+@query(
+    "pagerank_deep",
+    oracle=_oracle_pagerank_sql(iters=10),
+    doc="PageRank at 10 iterations — the driver-certified proof of the "
+        "per-round lineage cut (VERDICT r03 #1): without the "
+        "localCheckpoint at the bottom of each loop body this query's "
+        "recompute tree would be 2^10 join/agg passes; with it the "
+        "cost is linear in rounds and the FINAL plan reads the last "
+        "round's materialized RDD (plan-audited: no Join above the "
+        "top-k). Same damping/rounding contract as pagerank_topk; the "
+        "oracle unrolls all 10 rounds in SQL.",
+)
+def q_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = pagerank_ranks(spark, sf_dir, iters=10)
+    return (
+        ranks.select("node", F.round("r", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(_PR_TOPK)
+    )
+
+
+_BFS_DEPTH = 4
+
+
+@query(
+    "bfs_reachability",
+    oracle=f"""
+    WITH RECURSIVE
+    e AS ({_pr_edges_sql()}),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    seeds AS (SELECT node FROM nodes WHERE node % 17 = 0),
+    bfs(node, depth) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, bfs.depth + 1
+      FROM bfs JOIN e ON e.src = bfs.node
+      WHERE bfs.depth < {_BFS_DEPTH}
+    ),
+    md AS (SELECT node, MIN(depth) AS depth FROM bfs GROUP BY node)
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node,
+           CAST(SUM(node) AS BIGINT) AS node_sum
+    FROM md GROUP BY depth
+    """,
+    doc=f"BFS reachability to depth {_BFS_DEPTH} from deterministic "
+        "seed nodes over the event-derived link graph — the crawl-"
+        "frontier expansion semantics (depth = wave a URL is first "
+        "discovered in). Per round: one frontier-to-edges equi-join + "
+        "one anti-join against the visited set; frontier AND visited "
+        "are localCheckpoint-ed each round (the pagerank_topk lineage "
+        "discipline — visited feeds two consumers next round). The "
+        "oracle is a recursive CTE with a min-depth rollup; first "
+        "arrival in the distributed loop == MIN(depth) because a "
+        "node enters visited exactly once.",
+)
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % _PR_MOD).alias("src"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % _PR_MOD).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = tracked_cache(edges)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 17 == 0)
+    visited = seeds.withColumn("depth", F.lit(0)).localCheckpoint(
+        eager=False
+    )
+    frontier = visited.select("node")
+    for d in range(1, _BFS_DEPTH + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=False)  # feeds visited AND frontier
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+        F.sum("node").alias("node_sum"),
+    )
+
+
+@query(
+    "warc_revisit_resolve",
+    oracle="""
+    WITH pages AS (
+      SELECT 'https://host' || CAST((doc_id % 97) % 23 AS VARCHAR)
+               || '.example.com/doc/' || CAST(doc_id % 97 AS VARCHAR)
+               AS url,
+             doc_id,
+             md5(substr(lower(text), 1, 4)) AS digest
+      FROM documents),
+    lagged AS (
+      SELECT url, doc_id, digest,
+             LAG(digest) OVER (PARTITION BY url ORDER BY doc_id) AS prev
+      FROM pages)
+    SELECT url,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_versions,
+           CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT) AS n_revisits,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND digest <> prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+    FROM lagged
+    GROUP BY url
+    """,
+    doc="Common-Crawl CDX-style revisit resolution over the pages "
+        "table (input_hint shape: url + fetch order + payload "
+        "digest): per URL, a fetch whose digest already appeared is "
+        "a 'revisit' record (stored as a pointer, not a copy — the "
+        "dedup that keeps a recrawl from re-storing unchanged "
+        "pages), and digest-vs-previous-fetch flips count content "
+        "churn (the recrawl-scheduling signal). One window (LAG over "
+        "the high-cardinality url partition) + one hash aggregate; "
+        "digests are hashed in the scan projection so page text "
+        "never shuffles.",
+)
+def q_warc_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://host"),
+            ((F.col("doc_id") % 97) % 23).cast("string"),
+            F.lit(".example.com/doc/"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("url"),
+        "doc_id",
+        F.md5(F.substring(F.lower("text"), 1, 4)).alias("digest"),
+    )
+    w = W.partitionBy("url").orderBy("doc_id")
+    lagged = pages.withColumn("prev", F.lag("digest").over(w))
+    return lagged.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.countDistinct("digest").alias("n_versions"),
+        (F.count(F.lit(1)) - F.countDistinct("digest")).alias("n_revisits"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("digest") != F.col("prev")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changes"),
+    )
+
+
+_ROBOTS_RULES = [
+    (1, "/", True),
+    (2, "/p/", True),
+    (3, "/doc/", False),
+    (4, "/doc/4", True),
+    (5, "/admin/", False),
+    (6, "/p/1", False),
+]
+
+
+@query(
+    "robots_prefix_match",
+    oracle=f"""
+    WITH rules(rule_id, prefix, allow) AS (VALUES
+      {", ".join(f"({i}, '{p}', {str(a).lower()})" for i, p, a in _ROBOTS_RULES)}),
+    urls AS (
+      SELECT event_id,
+             CASE event_id % 3
+               WHEN 0 THEN '/p/' || CAST(user_id % 30 AS VARCHAR)
+               WHEN 1 THEN '/doc/' || CAST(event_id % 50 AS VARCHAR)
+               ELSE '/admin/' || CAST(user_id % 5 AS VARCHAR)
+             END AS path
+      FROM events),
+    m AS (
+      SELECT u.event_id, u.path, r.rule_id, r.prefix, r.allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.event_id
+               ORDER BY length(r.prefix) DESC, r.rule_id ASC) AS rn
+      FROM urls u JOIN rules r ON starts_with(u.path, r.prefix))
+    SELECT rule_id, prefix, allow,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_distinct_paths,
+           MIN(path) AS sample_path
+    FROM m WHERE rn = 1
+    GROUP BY rule_id, prefix, allow
+    """,
+    doc="robots.txt longest-prefix-match evaluation at corpus scale — "
+        "the per-URL allow/deny decision (REP: most-specific rule "
+        "wins, lower rule id breaks length ties) expressed as a "
+        "BROADCAST join of the model-sized rule table against the "
+        "URL stream + a per-URL rank window, never per-row Python. "
+        "The window partitions on the high-cardinality URL key; "
+        "output is the per-rule hit profile a crawl operator "
+        "monitors. Complements frontier/politeness.py (which applies "
+        "live robots state imperatively in the fetch wave).",
+)
+def q_robots_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "rule_id long, prefix string, allow boolean"
+    )
+    path = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("/p/"), (F.col("user_id") % 30).cast("string")),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit("/doc/"), (F.col("event_id") % 50).cast("string")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("/admin/"), (F.col("user_id") % 5).cast("string"))
+        )
+    )
+    urls = ev.select("event_id", path.alias("path"))
+    m = urls.join(
+        F.broadcast(rules), F.col("path").startswith(F.col("prefix"))
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.length("prefix").desc(), F.asc("rule_id")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("rule_id", "prefix", "allow")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.countDistinct("path").alias("n_distinct_paths"),
+            F.min("path").alias("sample_path"),
+        )
+    )
+
+
+_SALT_BUCKETS = 32
+
+
+@query(
+    "salted_host_agg",
+    oracle="""
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+    FROM (
+      SELECT CASE WHEN user_id % 10 < 8 THEN 'hot.example.com'
+                  ELSE 'h' || CAST(user_id % 37 AS VARCHAR)
+                       || '.example.com' END AS host,
+             value
+      FROM events)
+    GROUP BY host
+    """,
+    doc=f"Skew-salted two-stage aggregation — the north rule's "
+        f"'explicit skew salting on host buckets' as a certified "
+        f"query: 80% of events land on ONE hot host, so a plain "
+        f"groupBy(host) sends 80% of the data through a single "
+        f"reducer. Spark side aggregates on (host, salt%"
+        f"{_SALT_BUCKETS}) first — the hot key fans out over "
+        f"{_SALT_BUCKETS} partitions — then re-aggregates the "
+        f"{_SALT_BUCKETS}-bounded partials per host from SUM/COUNT "
+        f"parts (never avg-of-avgs). The salt never reaches the "
+        f"output, so the plain GROUP BY oracle certifies "
+        f"salt-invariance.",
+)
+def q_salted_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    host = F.when(
+        F.col("user_id") % 10 < 8, F.lit("hot.example.com")
+    ).otherwise(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 37).cast("string"),
+            F.lit(".example.com"),
+        )
+    )
+    salted = ev.select(
+        host.alias("host"),
+        "value",
+        F.pmod(F.col("event_id"), F.lit(_SALT_BUCKETS)).alias("_salt"),
+    )
+    partials = salted.groupBy("host", "_salt").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("value").alias("s")
+    )
+    return partials.groupBy("host").agg(
+        F.sum("c").alias("n_events"),
+        F.round(F.sum("s"), 2).alias("total_value"),
+        F.round(F.sum("s") / F.sum("c"), 4).alias("avg_value"),
+    )
+
+
+@query(
+    "bigram_lm_xent",
+    oracle="""
+    WITH dt AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    bg AS (
+      SELECT source, w[i] AS w1, w[i + 1] AS w2
+      FROM dt, UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+      WHERE len(w) >= 2),
+    m AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1)
+    SELECT bg.source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-AVG(ln(m.c2 * 1.0 / c1.c1)), 6) AS xent
+    FROM bg JOIN m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+            JOIN c1 ON c1.w1 = bg.w1
+    GROUP BY bg.source
+    """,
+    doc="Per-source cross-entropy under the corpus BIGRAM LM "
+        "P(w2|w1) = c(w1,w2)/c(w1,·) — the conditional-probability "
+        "step up from unigram_xent (CCNet-style perplexity filtering "
+        "with a context-aware model). Bigram instances are built once "
+        "from a NAMED token column (two-step projection, the "
+        "minhash_lsh_pairs discipline) and cached; the model tables "
+        "(vocab²- and vocab-bounded) broadcast back onto the "
+        "instance stream; one final source-keyed aggregate.",
+)
+def q_bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        D.spread(docs)
+        .select("source", D.tokens_col("text").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    # explode_outer + isNotNull: a plain explode would synthesize a
+    # size(grams)>0 filter that re-evaluates the n-gram transform at
+    # the scan (PLANS.md explode double-compute note)
+    bg = (
+        toks.select(
+            "source",
+            F.explode_outer(D.ngrams_col(F.col("w"), 2)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select(
+            "source",
+            F.substring_index("g", " ", 1).alias("w1"),
+            F.substring_index("g", " ", -1).alias("w2"),
+        )
+    )
+    bg = tracked_cache(bg)
+    m = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        bg.join(F.broadcast(m), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(F.log(F.col("c2") / F.col("c1"))), 6).alias(
+                "xent"
+            ),
+        )
+    )
+
+
+@query(
+    "source_kl_drift",
+    oracle="""
+    WITH dt AS (
+      SELECT source, t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    tc AS (SELECT source, t, COUNT(*) AS c FROM dt GROUP BY source, t),
+    st AS (SELECT source, SUM(c) AS n FROM tc GROUP BY source),
+    gt AS (SELECT t, SUM(c) AS cg FROM tc GROUP BY t),
+    g AS (SELECT SUM(c) AS ng FROM tc)
+    SELECT tc.source,
+           CAST(st.n AS BIGINT) AS n_tokens,
+           ROUND(SUM((tc.c * 1.0 / st.n)
+                     * ln((tc.c * 1.0 / st.n) / (gt.cg * 1.0 / g.ng))), 6)
+             AS kl
+    FROM tc JOIN st ON st.source = tc.source
+            JOIN gt ON gt.t = tc.t
+            CROSS JOIN g
+    GROUP BY tc.source, st.n
+    """,
+    doc="Per-source KL divergence of the unigram token distribution "
+        "vs the whole corpus — the drift/contamination monitor a "
+        "training pipeline runs per ingest source (a source whose "
+        "distribution diverges is boilerplate, spam, or the wrong "
+        "language). The heavy pass is ONE (source, token) count; "
+        "everything downstream re-aggregates that vocab×sources-"
+        "bounded table, with the token marginals broadcast back — "
+        "corpus text is scanned exactly once.",
+)
+def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dt = D.spread(docs).select(
+        "source", F.explode(D.tokens_col("text")).alias("t")
+    )
+    tc = dt.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    tc = tracked_cache(tc)
+    st = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    gt = tc.groupBy("t").agg(F.sum("c").alias("cg"))
+    g = tc.agg(F.sum("c").alias("ng"))
+    p_s = F.col("c") / F.col("n")
+    p_g = F.col("cg") / F.col("ng")
+    return (
+        tc.join(F.broadcast(st), "source")
+        .join(F.broadcast(gt), "t")
+        .crossJoin(F.broadcast(g))  # 1-row corpus total
+        .groupBy("source", "n")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_g)), 6).alias("kl"))
+        .select(F.col("source"), F.col("n").alias("n_tokens"), "kl")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 
@@ -4088,6 +4513,10 @@ _DRIVER_WINDOW_FIRST = [
     # plan changed in round 4 — recertify
     "pagerank_topk", "dedup_canonical", "quality_deciles",
     "kmeans_embeddings",
+    # new round-4 queries
+    "pagerank_deep", "bfs_reachability", "warc_revisit_resolve",
+    "robots_prefix_match", "salted_host_agg", "bigram_lm_xent",
+    "source_kl_drift",
 ]
 
 

@@ -144,3 +144,260 @@ class TestCachereg:
             t.join()
         assert len(cachereg._LIVE) == 200
         assert release_caches() == 200
+
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+class TestBfsReachability:
+    def test_matches_python_bfs(self, spark):
+        from edgar_crawler_spark.queries import _BFS_DEPTH, _PR_MOD, QUERIES
+
+        ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+        edges = set()
+        for r in ev:
+            s = r.user_id % _PR_MOD
+            d = (r.user_id * 7 + r.event_id) % _PR_MOD
+            if s != d:
+                edges.add((s, d))
+        adj: dict[int, set[int]] = {}
+        nodes = set()
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+            nodes.update((s, d))
+        depth = {n: 0 for n in nodes if n % 17 == 0}
+        frontier = set(depth)
+        for d in range(1, _BFS_DEPTH + 1):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in depth:
+                        depth[v] = d
+                        nxt.add(v)
+            frontier = nxt
+        expect = {}
+        for n, d in depth.items():
+            c, mn, mx, sm = expect.get(d, (0, 10**9, -1, 0))
+            expect[d] = (c + 1, min(mn, n), max(mx, n), sm + n)
+        try:
+            got = {
+                r.depth: (r.n_nodes, r.min_node, r.max_node, r.node_sum)
+                for r in QUERIES["bfs_reachability"].fn(
+                    spark, SF_SMALL
+                ).collect()
+            }
+        finally:
+            release_caches()
+        assert got == expect
+        # seeds exist and expansion actually happened
+        assert 0 in got and len(got) >= 2
+
+
+class TestWarcRevisit:
+    def test_planted_revisits(self, spark, tmp_path):
+        from edgar_crawler_spark.queries import QUERIES
+
+        # doc_ids 0, 97, 194 share url (id % 97 == 0, id % 23 spread)?
+        # urls mix BOTH moduli — plant ids congruent mod 23*97=2231 so
+        # they share a url, with controlled first-4-char prefixes
+        docs = [
+            (0, "s", "aaaa one", 8),        # v1
+            (2231, "s", "aaaa two", 8),     # same url, same digest -> revisit
+            (4462, "s", "bbbb new", 8),     # same url, changed content
+            (6693, "s", "aaaa back", 9),    # same url, digest seen before
+            (1, "s", "solo page", 9),       # singleton url
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string, n_chars long"
+        ).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        rows = {
+            r.url: r
+            for r in QUERIES["warc_revisit_resolve"].fn(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert len(rows) == 2
+        grp = rows["https://host0.example.com/doc/0"]
+        # 4 fetches, 2 versions (aaaa, bbbb), 2 revisits, 2 content flips
+        assert (grp.n_fetches, grp.n_versions, grp.n_revisits,
+                grp.n_changes) == (4, 2, 2, 2)
+        solo = rows["https://host1.example.com/doc/1"]
+        assert (solo.n_fetches, solo.n_versions, solo.n_revisits,
+                solo.n_changes) == (1, 1, 0, 0)
+
+    def test_sf001_nontrivial(self, spark):
+        from pyspark.sql import functions as F
+
+        from edgar_crawler_spark.queries import QUERIES
+
+        df = QUERIES["warc_revisit_resolve"].fn(spark, "/root/testdata/sf0.01")
+        agg = df.agg(
+            F.sum("n_revisits").alias("r"), F.sum("n_changes").alias("c")
+        ).collect()[0]
+        assert agg.r > 0 and agg.c > 0  # the columns aren't trivially zero
+
+
+class TestRobotsPrefixMatch:
+    def test_matches_python_mirror(self, spark):
+        from edgar_crawler_spark.queries import _ROBOTS_RULES, QUERIES
+
+        ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+        agg: dict[tuple, list] = {}
+        for r in ev:
+            m = r.event_id % 3
+            if m == 0:
+                path = f"/p/{r.user_id % 30}"
+            elif m == 1:
+                path = f"/doc/{r.event_id % 50}"
+            else:
+                path = f"/admin/{r.user_id % 5}"
+            cands = [
+                (len(p), -i, i, p, a)
+                for i, p, a in _ROBOTS_RULES
+                if path.startswith(p)
+            ]
+            _, _, rid, pref, allow = max(cands)
+            key = (rid, pref, allow)
+            st = agg.setdefault(key, [0, set(), None])
+            st[0] += 1
+            st[1].add(path)
+            st[2] = path if st[2] is None else min(st[2], path)
+        expect = {
+            k: (n, len(ps), mn) for k, (n, ps, mn) in agg.items()
+        }
+        got = {
+            (r.rule_id, r.prefix, r.allow):
+                (r.n_paths, r.n_distinct_paths, r.sample_path)
+            for r in QUERIES["robots_prefix_match"].fn(
+                spark, SF_SMALL
+            ).collect()
+        }
+        assert got == expect
+        # the most-specific-wins semantics is actually exercised:
+        # both '/doc/' (deny) and '/doc/4*' (allow) must win somewhere
+        rids = {k[0] for k in got}
+        assert {3, 4} <= rids
+
+
+class TestSaltedHostAgg:
+    def test_salt_invariant_vs_plain_groupby(self, spark):
+        from pyspark.sql import functions as F
+
+        from edgar_crawler_spark.queries import QUERIES
+
+        ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        host = F.when(
+            F.col("user_id") % 10 < 8, F.lit("hot.example.com")
+        ).otherwise(
+            F.concat(
+                F.lit("h"), (F.col("user_id") % 37).cast("string"),
+                F.lit(".example.com"),
+            )
+        )
+        plain = {
+            r.host: (r.n, round(r.s, 2))
+            for r in ev.select(host.alias("host"), "value")
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        got = {
+            r.host: (r.n_events, r.total_value)
+            for r in QUERIES["salted_host_agg"].fn(
+                spark, SF_SMALL
+            ).collect()
+        }
+        assert got == plain
+        # the skew is real: the hot host dominates
+        hot = got["hot.example.com"][0]
+        assert hot > 0.7 * sum(v[0] for v in got.values())
+
+
+class TestBigramLmXent:
+    def test_matches_python_mirror(self, spark, tmp_path):
+        import math
+        from collections import Counter
+
+        from edgar_crawler_spark.queries import QUERIES
+
+        docs = [
+            (0, "a", "the cat sat on the mat", 22),
+            (1, "a", "the cat ran", 11),
+            (2, "b", "the dog sat on the mat", 22),
+            (3, "b", "one", 3),  # < 2 tokens: contributes no bigrams
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string, n_chars long"
+        ).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        bg = []
+        for _, src, text, _n in docs:
+            w = text.split()
+            bg += [(src, (w[i], w[i + 1])) for i in range(len(w) - 1)]
+        c2 = Counter(g for _, g in bg)
+        c1 = Counter(g[0] for _, g in bg)
+        per_src: dict[str, list[float]] = {}
+        for src, g in bg:
+            per_src.setdefault(src, []).append(
+                -math.log(c2[g] / c1[g[0]])
+            )
+        try:
+            got = {
+                r.source: (r.n_bigrams, r.xent)
+                for r in QUERIES["bigram_lm_xent"].fn(
+                    spark, str(tmp_path)
+                ).collect()
+            }
+        finally:
+            release_caches()
+        for src, xs in per_src.items():
+            n, x = got[src]
+            assert n == len(xs)
+            assert abs(x - sum(xs) / len(xs)) < 1e-6
+        assert "b" in got and got["b"][0] == 5  # 'one' excluded
+
+
+class TestSourceKlDrift:
+    def test_matches_python_mirror_and_nonneg(self, spark):
+        import math
+        from collections import Counter
+
+        from edgar_crawler_spark.queries import QUERIES
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+        tc: Counter = Counter()
+        for r in docs:
+            for t in r.text.lower().split():
+                if t:
+                    tc[(r.source, t)] += 1
+        st: Counter = Counter()
+        gt: Counter = Counter()
+        for (s, t), c in tc.items():
+            st[s] += c
+            gt[t] += c
+        ng = sum(tc.values())
+        expect = {}
+        for s in st:
+            kl = sum(
+                (c / st[s]) * math.log((c / st[s]) / (gt[t] / ng))
+                for (s2, t), c in tc.items()
+                if s2 == s
+            )
+            expect[s] = (st[s], kl)
+        try:
+            got = {
+                r.source: (r.n_tokens, r.kl)
+                for r in QUERIES["source_kl_drift"].fn(
+                    spark, SF_SMALL
+                ).collect()
+            }
+        finally:
+            release_caches()
+        assert set(got) == set(expect)
+        for s, (n, kl) in expect.items():
+            assert got[s][0] == n
+            assert abs(got[s][1] - kl) < 1e-5
+            assert got[s][1] >= 0  # KL(P||Q) >= 0 (Gibbs)

@@ -270,6 +270,51 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"TakeOrderedAndProject", r"Scan parquet"],
      [r"Exchange", r"\+- Sort .*global=true",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # 10-iteration PageRank: the lineage cut means the final plan is
+    # just top-k over the last round's materialized RDD — no join tree
+    ("pagerank_deep",
+     [r"TakeOrderedAndProject", r"Scan ExistingRDD"],
+     [r"\+- Sort .*global=true", r"Join",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # BFS: per-round checkpoints — final plan is one aggregate over
+    # the visited RDD, no join above it
+    ("bfs_reachability",
+     [r"HashAggregate", r"Scan ExistingRDD"],
+     [r"Join", r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # revisit resolution: ONE url-keyed exchange feeds both the LAG
+    # window and the final aggregate; digests hashed in the scan
+    # projection (text never shuffles)
+    ("warc_revisit_resolve",
+     [r"Window", r"hashpartitioning\(url", r"md5"],
+     [r"SortMergeJoin", r"hashpartitioning\(text",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # robots eval: model-sized rule table broadcast (nested-loop on the
+    # prefix predicate), per-URL window on the high-cardinality key
+    ("robots_prefix_match",
+     [r"BroadcastNestedLoopJoin", r"Window",
+      r"windowspecdefinition\(event_id"],
+     [r"SortMergeJoin", r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # skew salting: first exchange keys (host, _salt) — the hot host
+    # fans out — the second keys host over salt-bounded partials
+    ("salted_host_agg",
+     [r"hashpartitioning\(host#\d+, _salt#\d+",
+      r"hashpartitioning\(host#\d+, \d+\)", r"partial_sum"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # bigram LM: instance table cached once, both model tables
+    # broadcast back; outer-explode (no size>0 recompute at the scan)
+    ("bigram_lm_xent",
+     [r"BroadcastHashJoin", r"InMemoryTableScan"],
+     [r"SortMergeJoin",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # KL drift: one (source, token) count pass; marginals broadcast;
+    # 1-row corpus total enters as a broadcast cross join
+    ("source_kl_drift",
+     [r"BroadcastHashJoin", r"BroadcastNestedLoopJoin",
+      r"InMemoryTableScan"],
+     [r"SortMergeJoin",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
