@@ -58,6 +58,14 @@ HEADLINE = [
     "dup_span_profile",
     "url_canonical_hosts",
     "kmeans_embeddings",
+    # round 4 additions (iterative-graph, CDX revisit, skew salting,
+    # LM scoring families)
+    "pagerank_deep",
+    "bfs_reachability",
+    "warc_revisit_resolve",
+    "salted_host_agg",
+    "bigram_lm_xent",
+    "source_kl_drift",
 ]
 
 

@@ -303,9 +303,16 @@ def lsh_neardup_pairs(
     flips (factor nbits+1, ids only, no payload), and joins
     `probe == b.bucket`. No bit_count(xor) theta-join (that would be a
     nested-loop), no metadata block key. At 10^10 vectors `bucket` is
-    a stored partition column, nbits grows with log2(N) to keep
-    buckets O(N/2^nbits) small, and recall is raised by unioning a few
+    a stored partition column and recall is raised by unioning a few
     independent hash tables, not by widening buckets.
+
+    nbits policy (measured, BENCH/BASELINE.md Round 4): candidate
+    pairs/vector ~ N(nbits+1)/2^nbits, so constant bucket occupancy
+    needs 2^nbits/(nbits+1) ∝ N — pick the smallest nbits with
+    2^nbits/(nbits+1) ≥ N/N0 · 2^n0/(n0+1). "nbits += log2(growth)"
+    undershoots by the (nbits+1) factor: at 100× growth from nbits=6,
+    nbits=13 left the same query 2.15× superlinear, nbits=14 made it
+    0.46× sublinear.
     """
     from .dedup import spread  # noqa: PLC0415
 

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 OUTPUT_SCHEMA = "url string, shard int"
 STATE_SCHEMA = "urls array<string>"
@@ -79,6 +80,169 @@ def run_url_seen_stream(
     deduped = streaming_url_seen(urls)
     return (
         deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-host frontier top-k
+# ---------------------------------------------------------------------------
+
+TOPK_OUTPUT_SCHEMA = "host string, url string, prio double, rank int"
+_TOPK_STATE_SCHEMA = "urls array<string>, prios array<double>"
+
+
+def _topk_merge(
+    pairs: list, k: int
+) -> list:
+    """Keep-best-per-url top-k: priority desc, url asc (the
+    frontier_fair_topk order). A URL rediscovered at a new priority
+    keeps its best rank."""
+    pairs.sort(key=lambda t: (-t[1], t[0]))
+    seen: set = set()
+    best: list = []
+    for u, p in pairs:
+        if u not in seen:
+            seen.add(u)
+            best.append((u, p))
+        if len(best) == k:
+            break
+    return best
+
+
+def _make_topk_fn(k: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cur = state.get if state.exists else (None, None)
+        pairs = list(zip(cur[0], cur[1])) if cur[0] is not None else []
+        for pdf in pdfs:
+            pairs.extend(
+                zip(pdf["url"].astype(str), pdf["prio"].astype(float))
+            )
+        best = _topk_merge(pairs, k)
+        state.update(([u for u, _ in best], [p for _, p in best]))
+        yield pd.DataFrame(
+            {
+                "host": pd.Series([key[0]] * len(best), dtype="object"),
+                "url": pd.Series([u for u, _ in best], dtype="object"),
+                "prio": pd.Series([p for _, p in best], dtype="float64"),
+                "rank": pd.Series(range(1, len(best) + 1), dtype="int32"),
+            }
+        )
+
+    return fn
+
+
+def streaming_frontier_topk(urls: DataFrame, k: int = 5) -> DataFrame:
+    """urls: STREAMING DataFrame with (host, url, prio). Emits each
+    host's refreshed top-k after every micro-batch the host appears
+    in; per-host state-store payload is exactly k (url, prio) pairs.
+
+    The streaming dual of frontier_fair_topk's per-host rank window:
+    a dispatcher never needs the full frontier — per-host state is
+    BOUNDED at k no matter how many discoveries stream in, versus the
+    unbounded seen-set state of streaming_url_seen. State rides the
+    streaming checkpoint, so a restarted dispatcher resumes with each
+    host's queue intact. NoTimeout: a pending queue never expires."""
+    return urls.groupBy("host").applyInPandasWithState(
+        _make_topk_fn(k),
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class TopKProcessor(StatefulProcessor):
+    """transformWithState (arbitrary stateful processing v2) version
+    of the per-host top-k: ValueState holds the k-bounded arrays;
+    every micro-batch merges its rows and re-emits the host's
+    refreshed top-k. ``k`` rides the pickled processor instance to
+    the workers.
+
+    ENV-GATED in this container: the TWS Python worker speaks a
+    protobuf state-server protocol
+    (pyspark/sql/streaming/proto/StateMessage_pb2) and
+    ``google.protobuf`` is not installed here, so the worker crashes
+    on its first state call. The applyInPandasWithState
+    ``streaming_frontier_topk`` above is the primary, fully-tested
+    implementation with identical semantics; this class documents the
+    v2-API shape and runs wherever protobuf + RocksDB are present."""
+
+    def __init__(self, k: int) -> None:
+        self._k = k
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("topk", _TOPK_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        cur = self._state.get() if self._state.exists() else None
+        pairs = (
+            list(zip(cur[0], cur[1])) if cur is not None else []
+        )
+        for pdf in rows:
+            pairs.extend(
+                zip(pdf["url"].astype(str), pdf["prio"].astype(float))
+            )
+        best = _topk_merge(pairs, self._k)
+        self._state.update(
+            ([u for u, _ in best], [p for _, p in best])
+        )
+        yield pd.DataFrame(
+            {
+                "host": [key[0]] * len(best),
+                "url": [u for u, _ in best],
+                "prio": [p for _, p in best],
+                "rank": list(range(1, len(best) + 1)),
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_frontier_topk_tws(urls: DataFrame, k: int = 5) -> DataFrame:
+    """transformWithState variant of streaming_frontier_topk — see
+    TopKProcessor for the env gate (needs google.protobuf + the
+    RocksDB state store provider)."""
+    return urls.groupBy("host").transformWithStateInPandas(
+        statefulProcessor=TopKProcessor(k),
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def run_frontier_topk_stream(
+    spark: Any,
+    urls_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+) -> Any:
+    """File-source stream -> per-host top-k -> parquet sink
+    (availableNow, one micro-batch per input file)."""
+    urls = (
+        spark.readStream.schema("host string, url string, prio double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(urls_path)
+    )
+    topk = streaming_frontier_topk(urls, k=k)
+    return (
+        topk.writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from edgar_crawler_spark.operators.consolidate import (
@@ -12,7 +13,10 @@ from edgar_crawler_spark.operators.consolidate import (
     write_analysis_csv,
 )
 from edgar_crawler_spark.operators.extract_job import extract_items_job
-from edgar_crawler_spark.streaming.stateful import run_url_seen_stream
+from edgar_crawler_spark.streaming.stateful import (
+    run_frontier_topk_stream,
+    run_url_seen_stream,
+)
 from edgar_crawler_spark.synth import pages_df
 
 
@@ -67,3 +71,89 @@ class TestStatefulUrlSeen:
         out = spark.read.parquet(out_dir)
         assert out.count() == 140
         assert out.select("url").distinct().count() == 140
+
+
+class TestStreamingFrontierTopK:
+    """transformWithState per-host top-k: state bounded at k, carried
+    across checkpoint restarts, keep-best on URL rediscovery."""
+
+    def test_state_carries_and_stays_bounded(self, spark, tmp_path):
+        urls_dir = str(tmp_path / "urls")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "host string, url string, prio double"
+
+        batch1 = [
+            ("h1", "https://h1/u1", 1.0),
+            ("h1", "https://h1/u2", 5.0),
+            ("h1", "https://h1/u3", 3.0),
+        ]
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(urls_dir)
+        q = run_frontier_topk_stream(spark, urls_dir, out_dir, ckpt, k=2)
+        q.awaitTermination(120)
+        got1 = sorted(
+            spark.read.parquet(out_dir).collect(), key=lambda r: r.rank
+        )
+        # top-2 of batch 1, priority desc — u1 cut by the k bound
+        assert [(r.url, r.prio, r.rank) for r in got1] == [
+            ("https://h1/u2", 5.0, 1),
+            ("https://h1/u3", 3.0, 2),
+        ]
+
+        # restart from checkpoint: u4 arrives, u2 is REdiscovered at a
+        # lower prio (keep-best), and a brand-new host h2 appears
+        batch2 = [
+            ("h1", "https://h1/u4", 4.0),
+            ("h1", "https://h1/u2", 0.5),
+            ("h2", "https://h2/v1", 9.0),
+        ]
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(urls_dir)
+        q = run_frontier_topk_stream(spark, urls_dir, out_dir, ckpt, k=2)
+        q.awaitTermination(120)
+        from collections import Counter  # noqa: PLC0415
+
+        rows = spark.read.parquet(out_dir).collect()
+        got = Counter((r.host, r.url, r.prio, r.rank) for r in rows)
+        # batch-1 emission (u2,u3) + batch-2's refreshed top-2 — which
+        # proves batch-1 state survived the restart (u2 keeps its
+        # ORIGINAL prio 5.0 at rank 1, so it repeats), stays bounded
+        # at k (u3 evicted, u1 never enters), and h2 is independent
+        # per-key state
+        assert got == Counter(
+            {
+                ("h1", "https://h1/u2", 5.0, 1): 2,
+                ("h1", "https://h1/u3", 3.0, 2): 1,
+                ("h1", "https://h1/u4", 4.0, 2): 1,
+                ("h2", "https://h2/v1", 9.0, 1): 1,
+            }
+        )
+
+    def test_tws_variant_env_gated(self, spark, tmp_path):
+        """The transformWithState twin needs google.protobuf (the TWS
+        worker's state-server protocol); absent here, so only the
+        plan-construction surface is exercised, plus the shared merge
+        helper the two implementations both delegate to."""
+        from edgar_crawler_spark.streaming.stateful import (
+            _topk_merge,
+            streaming_frontier_topk_tws,
+        )
+
+        # shared-kernel semantics: keep-best per url, prio desc, cut k
+        best = _topk_merge(
+            [("u1", 1.0), ("u2", 5.0), ("u2", 0.5), ("u3", 3.0)], k=2
+        )
+        assert best == [("u2", 5.0), ("u3", 3.0)]
+
+        try:
+            import google.protobuf  # noqa: F401, PLC0415
+        except ImportError:
+            pytest.skip("google.protobuf absent: TWS worker cannot run here")
+        urls = (
+            spark.readStream.schema("host string, url string, prio double")
+            .parquet(str(tmp_path / "nowhere"))
+        )
+        assert streaming_frontier_topk_tws(urls, k=3).isStreaming

@@ -1,0 +1,190 @@
+"""100× plan-stability probe (VERDICT r03 next-round #3).
+
+One decade past tools/bench_sf1.py: builds a deterministic
+sf10-equivalent dataset (100× the driver's sf0.1 rows) and times the
+five most expensive pair/packing queries at sf0.1 and at 100×, with
+the documented scaling-policy levers applied where the query has one.
+
+Data-construction model — "corpus growth adds new content", the
+realistic web shape (unlike bench_sf1's verbatim replicas, which make
+dup clusters grow WITH the corpus and conflate output-size scaling
+with plan scaling):
+- documents: every token gets a per-copy suffix (``tok`` → ``tok_c7``)
+  so each copy is its own sub-corpus — token df and the true near-dup
+  pair set stay CONSTANT per copy, i.e. corpus-truth grows linearly.
+- embeddings: each copy's vectors are rotated by ``copy % 64``
+  positions and sign-flipped for copies ≥ 64 (norm-preserving,
+  decorrelating), so cross-copy cosine is ~random and the true
+  neighbor structure again grows linearly.
+
+Policy levers applied at 100× (from the operator docstrings):
+- knn_graph / embedding_neardup: nbits grows with log2(N) to hold
+  bucket occupancy ~constant — candidates/vector ~ N(nbits+1)/2^nbits,
+  so constant occupancy needs 2^nbits/(nbits+1) ∝ N: 9.1 at nbits=6,
+  ×100 → 914, and nbits=14 (1092) is the first setting past it
+  (nbits=13 reaches only 64× and measured 2.15× superlinear).
+- jaccard_bigram_pairs, sparse_cosine_pairs, pack_sequences: no lever
+  needed — df caps / shard widths are already absolute, and the
+  salted construction keeps their inputs linear.
+
+Usage: python tools/bench_sf10.py [--rebuild] [--policy-only]
+(--policy-only reruns just the nbits-lever pair on the built data.)
+Keep the machine otherwise idle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from edgar_crawler_spark.cachereg import release_caches
+from edgar_crawler_spark.queries import QUERIES
+from edgar_crawler_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/ecs_sf10"
+COPIES = 100
+DIM = 64
+
+
+def _salt_tokens(text_col, copy: int):
+    """tok -> tok_c<copy>: per-copy sub-corpus, df preserved."""
+    return F.array_join(
+        F.transform(
+            F.split(text_col, " "),
+            lambda t: F.concat(t, F.lit(f"_c{copy}")),
+        ),
+        " ",
+    )
+
+
+def _rotate_flip(emb_col, copy: int):
+    """Rotate by copy%DIM, sign-flip for copy>=DIM: norm-preserving,
+    decorrelating, and injective over 100 copies."""
+    r = copy % DIM
+    rot = (
+        F.concat(F.slice(emb_col, r + 1, DIM - r), F.slice(emb_col, 1, r))
+        if r
+        else emb_col
+    )
+    if copy >= DIM:
+        rot = F.transform(rot, lambda x: -x)
+    return rot
+
+
+def build(spark, rebuild: bool = False) -> None:
+    os.makedirs(DST, exist_ok=True)
+    specs = {
+        "documents": (["doc_id"], "text"),
+        "embeddings": (["vec_id"], "embedding"),
+    }
+    for name, (id_cols, payload) in specs.items():
+        out = os.path.join(DST, f"{name}.parquet")
+        if os.path.exists(out) and not rebuild:
+            continue
+        src = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        n = src.count()
+        parts = []
+        for i in range(COPIES):
+            df = src
+            for c in id_cols:
+                df = df.withColumn(c, F.col(c) + F.lit(i * n).cast("long"))
+            if i > 0 and payload == "text":
+                df = df.withColumn("text", _salt_tokens(F.col("text"), i))
+            if i > 0 and payload == "embedding":
+                df = df.withColumn(
+                    "embedding", _rotate_flip(F.col("embedding"), i)
+                )
+            parts.append(df)
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        full.repartition(64).write.mode("overwrite").parquet(out)
+        print(f"built {name}: {n} -> {n * COPIES} rows", file=sys.stderr)
+    for f in os.listdir(SRC):
+        dst = os.path.join(DST, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f), dst)
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    rebuild = "--rebuild" in sys.argv
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark("bench-sf10", cores=32, shuffle_partitions=64)
+    build(spark, rebuild)
+
+    force(QUERIES["count_by_type"].fn(spark, SRC))  # warm
+    out = {}
+
+    # registry-shape queries (no lever needed)
+    registry = [] if "--policy-only" in sys.argv else [
+        "jaccard_bigram_pairs",
+        "sparse_cosine_pairs",
+        "pack_sequences",
+    ]
+    for name in registry:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        force(q.fn(spark, SRC))
+        t_small = time.perf_counter() - t0
+        release_caches()
+        t0 = time.perf_counter()
+        force(q.fn(spark, DST))
+        t_big = time.perf_counter() - t0
+        release_caches()
+        out[name] = {
+            "sf0.1_sec": round(t_small, 3),
+            "x100_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+        }
+        print(f"{name:28s} {t_small:7.2f}s -> {t_big:7.2f}s  "
+              f"x{t_big / t_small:6.2f}", file=sys.stderr)
+
+    # policy-lever queries: nbits 6 @ sf0.1 -> 14 @ 100x
+    # (constant bucket occupancy: 2^nbits/(nbits+1) scales with N)
+    from edgar_crawler_spark.operators.similarity import (  # noqa: PLC0415
+        knn_graph,
+        lsh_neardup_pairs,
+    )
+    from edgar_crawler_spark.tables import load_table  # noqa: PLC0415
+
+    for name, fn, small_kw, big_kw in [
+        ("knn_graph", knn_graph,
+         dict(k=5, nbits=6, dim=DIM), dict(k=5, nbits=14, dim=DIM)),
+        ("embedding_neardup", lsh_neardup_pairs,
+         dict(threshold=0.35, nbits=6, dim=DIM),
+         dict(threshold=0.35, nbits=14, dim=DIM)),
+    ]:
+        t0 = time.perf_counter()
+        force(fn(load_table(spark, SRC, "embeddings"), **small_kw))
+        t_small = time.perf_counter() - t0
+        release_caches()
+        t0 = time.perf_counter()
+        force(fn(load_table(spark, DST, "embeddings"), **big_kw))
+        t_big = time.perf_counter() - t0
+        release_caches()
+        out[f"{name}@policy"] = {
+            "sf0.1_sec": round(t_small, 3),
+            "x100_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+            "nbits": f"{small_kw['nbits']}->{big_kw['nbits']}",
+        }
+        print(f"{name + '@policy':28s} {t_small:7.2f}s -> {t_big:7.2f}s  "
+              f"x{t_big / t_small:6.2f}", file=sys.stderr)
+
+    print(json.dumps({"probe": "x100_plan_stability", "copies": COPIES,
+                      "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
