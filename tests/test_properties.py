@@ -74,3 +74,45 @@ class TestTokenBucketProperties:
                 window = times[j] - times[i]
                 sends = j - i + 1
                 assert sends <= 1.0 + rate * window + 1e-6
+
+
+class TestTopKMergeProperties:
+    """The streaming frontier top-k state kernel
+    (streaming/stateful.py:_topk_merge). The operator's exactly-right
+    semantics rest on one algebraic fact: folding batches through a
+    k-bounded state equals one global pass — otherwise a restart or a
+    different micro-batch slicing would change the dispatch order."""
+
+    pairs_st = st.lists(
+        st.tuples(
+            st.sampled_from([f"u{i}" for i in range(8)]),  # force dups
+            st.integers(min_value=-50, max_value=50).map(float),
+        ),
+        max_size=40,
+    )
+
+    @given(pairs_st, st.integers(min_value=1, max_value=5))
+    @settings(max_examples=200, deadline=None)
+    def test_bounded_sorted_keep_best(self, pairs, k):
+        from edgar_crawler_spark.streaming.stateful import _topk_merge
+
+        best = _topk_merge(list(pairs), k)
+        assert len(best) <= k
+        assert len({u for u, _ in best}) == len(best)  # unique urls
+        assert best == sorted(best, key=lambda t: (-t[1], t[0]))
+        mx = {}
+        for u, p in pairs:
+            mx[u] = max(mx.get(u, p), p)
+        for u, p in best:
+            assert p == mx[u]  # keep-best per url
+        # exactly the k best of the deduped set
+        want = sorted(mx.items(), key=lambda t: (-t[1], t[0]))[:k]
+        assert best == want
+
+    @given(pairs_st, pairs_st, st.integers(min_value=1, max_value=5))
+    @settings(max_examples=200, deadline=None)
+    def test_incremental_merge_equals_global(self, a, b, k):
+        from edgar_crawler_spark.streaming.stateful import _topk_merge
+
+        incremental = _topk_merge(_topk_merge(list(a), k) + list(b), k)
+        assert incremental == _topk_merge(list(a) + list(b), k)

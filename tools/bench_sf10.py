@@ -126,12 +126,19 @@ def main() -> None:
     force(QUERIES["count_by_type"].fn(spark, SRC))  # warm
     out = {}
 
-    # registry-shape queries (no lever needed)
+    # registry-shape queries (no lever needed). dedup_canonical rides
+    # along since round 4 (bigram-shingle pair generation): per-copy
+    # salting keeps its true cluster set constant per copy, so its
+    # corpus truth also grows linearly.
     registry = [] if "--policy-only" in sys.argv else [
         "jaccard_bigram_pairs",
         "sparse_cosine_pairs",
         "pack_sequences",
+        "dedup_canonical",
     ]
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if only:
+        registry = [n for n in registry if n in only]
     for name in registry:
         q = QUERIES[name]
         t0 = time.perf_counter()
@@ -158,13 +165,16 @@ def main() -> None:
     )
     from edgar_crawler_spark.tables import load_table  # noqa: PLC0415
 
-    for name, fn, small_kw, big_kw in [
+    policy = [
         ("knn_graph", knn_graph,
          dict(k=5, nbits=6, dim=DIM), dict(k=5, nbits=14, dim=DIM)),
         ("embedding_neardup", lsh_neardup_pairs,
          dict(threshold=0.35, nbits=6, dim=DIM),
          dict(threshold=0.35, nbits=14, dim=DIM)),
-    ]:
+    ]
+    if only:  # positional names filter the policy pair too
+        policy = [p for p in policy if p[0] in only]
+    for name, fn, small_kw, big_kw in policy:
         t0 = time.perf_counter()
         force(fn(load_table(spark, SRC, "embeddings"), **small_kw))
         t_small = time.perf_counter() - t0
