@@ -4480,6 +4480,153 @@ def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Outlink discovery (frontier/links.py) — round 4
+# ---------------------------------------------------------------------------
+
+
+def _outlink_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic (url, html) page rows synthesized from documents
+    IDENTICALLY on both engines: five anchor shapes per page covering
+    absolute, root-relative, parent-relative (../), dot-relative (./
+    with a query string), and protocol-relative links, plus a mailto
+    and a fragment-only anchor the frontier must drop."""
+    toks = F.split(F.col("text"), " ")
+
+    def tok(i: int):
+        return F.coalesce(F.element_at(toks, i), F.lit("tok"))
+
+    base = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/d"),
+        (F.col("doc_id") % 7).cast("string"), F.lit("/p"),
+        F.col("doc_id").cast("string"), F.lit("/page.html"),
+    )
+    html = F.concat(
+        F.lit('<a href="https://ext-'), tok(1), F.lit(".example.org/x/"),
+        tok(2), F.lit('">a</a>'),
+        F.lit("<A HREF='/r/"), tok(3), F.lit(".html'>b</a>"),
+        F.lit('<a href="../u/'), tok(4), F.lit('">c</a>'),
+        F.lit('<a href="./s/'), tok(5), F.lit('?b=2&a=1">d</a>'),
+        F.lit('<a href="//cdn.example.net/c/'), tok(1), F.lit('">e</a>'),
+        F.lit('<a href="mailto:x@y">f</a><a href="#top">g</a>'),
+    )
+    return docs.select(
+        F.col("doc_id"), base.alias("url"), html.alias("html")
+    )
+
+
+_OUTLINK_ORACLE_TOKS = """
+    toks AS (
+      SELECT doc_id, source,
+             coalesce(string_split(text, ' ')[1], 'tok') AS t1,
+             coalesce(string_split(text, ' ')[2], 'tok') AS t2,
+             coalesce(string_split(text, ' ')[3], 'tok') AS t3,
+             coalesce(string_split(text, ' ')[4], 'tok') AS t4,
+             coalesce(string_split(text, ' ')[5], 'tok') AS t5
+      FROM documents),
+    res AS (
+      SELECT doc_id, unnest([
+        'https://ext-' || t1 || '.example.org/x/' || t2,
+        'https://' || source || '.example.com/r/' || t3 || '.html',
+        'https://' || source || '.example.com/d'
+          || CAST(doc_id % 7 AS VARCHAR) || '/u/' || t4,
+        'https://' || source || '.example.com/d'
+          || CAST(doc_id % 7 AS VARCHAR) || '/p'
+          || CAST(doc_id AS VARCHAR) || '/s/' || t5 || '?b=2&a=1',
+        'https://cdn.example.net/c/' || t1
+      ]) AS dst
+      FROM toks)
+"""
+
+
+@query(
+    "outlink_resolve",
+    oracle=f"""
+    WITH {_OUTLINK_ORACLE_TOKS}
+    SELECT regexp_extract(dst, '://([^/?#]+)', 1) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_unique
+    FROM res
+    GROUP BY host
+    """,
+    doc="Outlink extraction + RFC-lite reference resolution over "
+        "Common-Crawl-style (url, html) rows — the crawl DISCOVERY "
+        "step the EDGAR reference replaces with index-file walks. "
+        "Spark runs the real operator (frontier/links.py: one JVM "
+        "regexp_extract_all for hrefs, a codegen CASE for absolute/"
+        "protocol-relative/root-relative/dot-relative resolution, "
+        "bounded ../ collapse — no Python, RE2-safe regexes); the "
+        "DuckDB oracle derives the expected URLs INDEPENDENTLY from "
+        "the page construction, so the two sides share no resolution "
+        "code (the operator itself is additionally pinned to "
+        "urllib.parse.urljoin by hypothesis in tests/test_links.py). "
+        "Canonicalization rides the pipeline but is identity on this "
+        "envelope. Per-host link counts; COUNT(DISTINCT dst) is safe "
+        "because Spark expands it two-phase on the (host, dst) "
+        "composite.",
+)
+def q_outlink_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .frontier import links as L  # noqa: PLC0415
+
+    edges = L.outlink_edges(_outlink_pages(_t(spark, sf_dir, "documents")))
+    return (
+        edges.select(
+            F.regexp_extract("dst", "://([^/?#]+)", 1).alias("host"), "dst"
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("dst").alias("n_unique"),
+        )
+    )
+
+
+@query(
+    "frontier_expand",
+    oracle=f"""
+    WITH {_OUTLINK_ORACLE_TOKS},
+    seen AS (SELECT DISTINCT dst FROM res WHERE doc_id % 3 = 0),
+    cand AS (SELECT DISTINCT dst FROM res WHERE doc_id % 3 <> 0)
+    SELECT regexp_extract(dst, '://([^/?#]+)', 1) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM cand
+    WHERE dst NOT IN (SELECT dst FROM seen)
+    GROUP BY host
+    """,
+    doc="The full discovery loop: pages crawled in wave 1 (doc_id%3"
+        "==0) contribute their canonical outlinks to the SEEN set; "
+        "the remaining pages' outlinks are deduped and anti-joined "
+        "against it, yielding the per-host count of genuinely NEW "
+        "frontier URLs — extraction, resolution, canonicalization, "
+        "dedup, and URL-seen anti-join composed end-to-end "
+        "(frontier/links.py + the urlseen_antijoin idiom). Both "
+        "sides of the anti-join key on the high-cardinality "
+        "canonical dst; DISTINCT before the anti-join bounds its "
+        "state to unique URLs. At 10^10 URLs the seen side becomes "
+        "the sharded bloom pre-filter + exact recheck "
+        "(frontier/seen.py) with an identical plan shape.",
+)
+def q_frontier_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .frontier import links as L  # noqa: PLC0415
+
+    pages = _outlink_pages(_t(spark, sf_dir, "documents"))
+    seen = (
+        L.outlink_edges(pages.filter(F.col("doc_id") % 3 == 0))
+        .select("dst").distinct()
+    )
+    cand = (
+        L.outlink_edges(pages.filter(F.col("doc_id") % 3 != 0))
+        .select("dst").distinct()
+    )
+    new = cand.join(seen, "dst", "left_anti")
+    return (
+        new.groupBy(
+            F.regexp_extract("dst", "://([^/?#]+)", 1).alias("host")
+        )
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 

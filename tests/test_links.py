@@ -1,0 +1,155 @@
+"""Outlink extraction + resolution (frontier/links.py).
+
+Three independent anchors:
+- the Spark Column pipeline equals the pure-python mirror,
+- the mirror equals urllib.parse.urljoin across the documented
+  envelope (hypothesis),
+- the registry queries compose it end-to-end (oracle-checked by
+  tools/check_oracles.py; here we pin plan hygiene: no Python eval
+  in the pipeline).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from edgar_crawler_spark.frontier.links import (
+    HREF_RE,
+    extract_hrefs_py,
+    outlink_edges,
+    resolve_link_py,
+)
+
+BASE = "https://src0.example.com/d3/p27/page.html"
+
+CASES = [
+    "https://ext.org/x/y",
+    "/r/a.html",
+    "../u/t",
+    "./s/t?b=2&a=1",
+    "//cdn.example.net/c/z",
+    "a/b/../c",
+    "../../up2",
+    "../../../clamped",
+    "?q=1",
+    "sub/",
+    "/a/./b/../c/d",
+    "x/./y",
+]
+DROPPED = ["", "#top", "mailto:x@y", "javascript:void(0)", "tel:123",
+           "DATA:text/plain,x", "  "]
+
+
+class TestResolveMirror:
+    def test_cases_match_urljoin(self):
+        for link in CASES:
+            assert resolve_link_py(BASE, link) == urljoin(BASE, link), link
+
+    def test_dropped_links(self):
+        for link in DROPPED:
+            assert resolve_link_py(BASE, link) is None, repr(link)
+
+    def test_scheme_case_preserved_until_canon(self):
+        # urljoin lowercases an absolute link's scheme itself; this
+        # resolver leaves it to canonicalize_url (which also folds the
+        # host), so resolution stays a pure reference-merge
+        from edgar_crawler_spark.frontier.canon import canonicalize_url_py
+
+        got = resolve_link_py(BASE, "HTTPS://UP.org/q")
+        assert got == "HTTPS://UP.org/q"
+        assert canonicalize_url_py(got) == "https://up.org/q"
+
+    def test_extract_hrefs_order_and_quoting(self):
+        html = (
+            '<p><a href="x">1</a><A HREF=\'y\'>2</a>'
+            '<a class="z" href="w">3</a><a nohref>4</a></p>'
+        )
+        assert extract_hrefs_py(html) == ["x", "y", "w"]
+
+
+# envelope: lowercase path segments, optional interleaved ./ and up to
+# 4 ../ segments, optional query string — what real crawl html uses
+# and what the bounded regex passes guarantee on both engines.
+_seg = st.from_regex(r"[a-z][a-z0-9]{0,5}", fullmatch=True)
+_dots = st.sampled_from([".", ".."])
+_rel_path = st.lists(
+    st.one_of(_seg, _dots), min_size=1, max_size=6
+).filter(lambda segs: sum(s == ".." for s in segs) <= 4).map("/".join)
+_query = st.one_of(st.just(""), st.just("?a=1&b=2"))
+
+
+class TestResolveProperties:
+    @given(
+        st.lists(_seg, min_size=0, max_size=3),  # base dir depth
+        st.booleans(),                            # base ends in file?
+        _rel_path,
+        _query,
+        st.sampled_from(["", "/", "//h.example.net/", "https://abs.org/"]),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_matches_urljoin_in_envelope(self, bdirs, bfile, rel, q, prefix):
+        base = "https://h0.example.com/" + "/".join(bdirs)
+        if bdirs:
+            base += "/"
+        if bfile:
+            base += "leaf.html"
+        link = prefix + rel + q
+        if link == "" or link.startswith("#"):
+            return
+        if prefix not in ("", "/") and ("/./" in f"/{rel}/" or "/../" in f"/{rel}/"):
+            # CPython urljoin skips RFC 3986 §5.2.2 dot-segment
+            # removal for references that carry their own authority
+            # (absolute / network-path); this resolver applies it.
+            return
+        assert resolve_link_py(base, link) == urljoin(base, link), (
+            base, link)
+
+    @given(_rel_path, _query)
+    @settings(max_examples=100, deadline=None)
+    def test_deterministic_and_fragmentless(self, rel, q):
+        r1 = resolve_link_py(BASE, rel + q)
+        assert r1 == resolve_link_py(BASE, rel + q)
+        assert r1 is not None and "#" not in r1
+
+
+class TestSparkPipeline:
+    def test_spark_equals_mirror_and_no_python_eval(self, spark):
+        html = "".join(f'<a href="{link}">x</a>' for link in CASES + DROPPED)
+        df = spark.createDataFrame(
+            [(BASE, html)], "url string, html string"
+        )
+        edges = outlink_edges(df)
+        want = [
+            resolve_link_py(BASE, link)
+            for link in extract_hrefs_py(html)
+        ]
+        want = [w for w in want if w is not None]
+        got = [r.dst for r in edges.collect()]
+        # canonicalization lowercases the HTTPS://UP.org scheme+host
+        from edgar_crawler_spark.frontier.canon import canonicalize_url_py
+
+        assert got == [canonicalize_url_py(w) for w in want]
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_binary_html_column(self, spark):
+        df = spark.createDataFrame(
+            [(BASE, bytearray(b'<a href="/bin/x">b</a>'))],
+            "url string, html binary",
+        )
+        got = [r.dst for r in outlink_edges(df).collect()]
+        assert got == ["https://src0.example.com/bin/x"]
+
+    def test_href_re_is_re2_safe_for_duckdb(self):
+        import duckdb
+
+        con = duckdb.connect()
+        html = '<a href="x">1</a><A HREF=\'y\'>2</a>'
+        out = con.execute(
+            "SELECT regexp_extract_all(?, ?, 1)", [html, HREF_RE]
+        ).fetchone()[0]
+        assert out == ["x", "y"]

@@ -315,6 +315,18 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
       r"InMemoryTableScan"],
      [r"SortMergeJoin",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # outlink discovery: extraction+resolution must stay codegen
+    # (regexp in the projection), never Python; explode is the
+    # outer Generate (no re-evaluating size() filter at the scan)
+    ("outlink_resolve",
+     [r"Generate", r"explode\(regexp_extract_all", r"HashAggregate"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # the discovery anti-join keys on the high-cardinality canonical
+    # dst; both distincts are hash aggregates
+    ("frontier_expand",
+     [r"Join type: LeftAnti", r"explode\(regexp_extract_all"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas",
+      r"BroadcastNestedLoopJoin"]),
 ]
 
 
