@@ -66,6 +66,9 @@ HEADLINE = [
     "salted_host_agg",
     "bigram_lm_xent",
     "source_kl_drift",
+    # round 4b: outlink discovery family
+    "outlink_resolve",
+    "frontier_expand",
 ]
 
 

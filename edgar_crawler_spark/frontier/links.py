@@ -53,6 +53,35 @@ def extract_hrefs(html: Column | str) -> Column:
     return F.regexp_extract_all(c.cast("string"), F.lit(HREF_RE), F.lit(1))
 
 
+# group 1 = href, group 2 = anchor text (flat inner text envelope —
+# nested markup inside <a> is out of envelope, identically on both
+# engines)
+ANCHOR_RE = (
+    "(?i)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>([^<]*)</a"
+)
+
+
+def extract_anchors(html: Column | str) -> Column:
+    """array<struct<href,anchor>> in document order: each link target
+    paired with its anchor text — the link-context signal a training
+    pipeline keeps (anchor corpora, title mining) and a ranker feeds
+    (BM25F anchor field). Two regexp_extract_all passes over the same
+    pattern zip JVM-side; no Python."""
+    c = F.col(html) if isinstance(html, str) else html
+    s = c.cast("string")
+    hrefs = F.regexp_extract_all(s, F.lit(ANCHOR_RE), F.lit(1))
+    texts = F.regexp_extract_all(s, F.lit(ANCHOR_RE), F.lit(2))
+    return F.zip_with(
+        hrefs,
+        texts,
+        lambda h, t: F.struct(h.alias("href"), t.alias("anchor")),
+    )
+
+
+def extract_anchors_py(html: str) -> list[tuple[str, str]]:
+    return re.findall(ANCHOR_RE, html)
+
+
 def _normalize_path(path: Column) -> Column:
     """Bounded dot-segment removal (RFC 3986 §5.2.4 envelope):
     `/./` segments out, then up to _DOT_PASSES levels of `/x/../`

@@ -4502,11 +4502,14 @@ def _outlink_pages(docs: DataFrame) -> DataFrame:
     )
     html = F.concat(
         F.lit('<a href="https://ext-'), tok(1), F.lit(".example.org/x/"),
-        tok(2), F.lit('">a</a>'),
-        F.lit("<A HREF='/r/"), tok(3), F.lit(".html'>b</a>"),
-        F.lit('<a href="../u/'), tok(4), F.lit('">c</a>'),
-        F.lit('<a href="./s/'), tok(5), F.lit('?b=2&a=1">d</a>'),
-        F.lit('<a href="//cdn.example.net/c/'), tok(1), F.lit('">e</a>'),
+        tok(2), F.lit('">'), tok(2), F.lit("</a>"),
+        F.lit("<A HREF='/r/"), tok(3), F.lit(".html'>"), tok(4),
+        F.lit("</a>"),
+        F.lit('<a href="../u/'), tok(4), F.lit('">'), tok(1), F.lit("</a>"),
+        F.lit('<a href="./s/'), tok(5), F.lit('?b=2&a=1">'), tok(3),
+        F.lit("</a>"),
+        F.lit('<a href="//cdn.example.net/c/'), tok(1), F.lit('">'),
+        tok(5), F.lit("</a>"),
         F.lit('<a href="mailto:x@y">f</a><a href="#top">g</a>'),
     )
     return docs.select(
@@ -4623,6 +4626,112 @@ def q_frontier_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("dst", "://([^/?#]+)", 1).alias("host")
         )
         .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+
+
+@query(
+    "host_linkgraph",
+    oracle=f"""
+    WITH {_OUTLINK_ORACLE_TOKS}
+    SELECT source || '.example.com' AS src_host,
+           regexp_extract(dst, '://([^/?#]+)', 1) AS dst_host,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_unique
+    FROM (SELECT r.doc_id, r.dst, t.source
+          FROM res r JOIN toks t ON r.doc_id = t.doc_id)
+    GROUP BY src_host, dst_host
+    """,
+    doc="Host-level web-graph construction: canonical outlink edges "
+        "rolled up to (src_host, dst_host) with link and unique-URL "
+        "weights — the aggregation that turns a page corpus into the "
+        "host graph PageRank/BFS run on (pagerank_topk, "
+        "bfs_reachability operate on exactly this edge shape). One "
+        "scan-projection extraction, one two-phase hash aggregate on "
+        "the composite key; self-loops kept (intra-host navigation "
+        "is signal for crawl budgeting).",
+)
+def q_host_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .frontier import links as L  # noqa: PLC0415
+
+    edges = L.outlink_edges(_outlink_pages(_t(spark, sf_dir, "documents")))
+    return (
+        edges.select(
+            F.regexp_extract("base", "://([^/?#]+)", 1).alias("src_host"),
+            F.regexp_extract("dst", "://([^/?#]+)", 1).alias("dst_host"),
+            "dst",
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("dst").alias("n_unique"),
+        )
+    )
+
+
+@query(
+    "anchor_text_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             coalesce(string_split(text, ' ')[1], 'tok') AS t1,
+             coalesce(string_split(text, ' ')[2], 'tok') AS t2,
+             coalesce(string_split(text, ' ')[3], 'tok') AS t3,
+             coalesce(string_split(text, ' ')[4], 'tok') AS t4,
+             coalesce(string_split(text, ' ')[5], 'tok') AS t5
+      FROM documents),
+    res AS (
+      SELECT doc_id,
+        unnest([
+          'https://ext-' || t1 || '.example.org/x/' || t2,
+          'https://' || source || '.example.com/r/' || t3 || '.html',
+          'https://' || source || '.example.com/d'
+            || CAST(doc_id % 7 AS VARCHAR) || '/u/' || t4,
+          'https://' || source || '.example.com/d'
+            || CAST(doc_id % 7 AS VARCHAR) || '/p'
+            || CAST(doc_id AS VARCHAR) || '/s/' || t5 || '?b=2&a=1',
+          'https://cdn.example.net/c/' || t1
+        ]) AS dst,
+        unnest([t2, t4, t1, t3, t5]) AS anchor
+      FROM toks)
+    SELECT anchor,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT regexp_extract(dst, '://([^/?#]+)', 1))
+                AS BIGINT) AS n_hosts
+    FROM res
+    GROUP BY anchor
+    """,
+    doc="Anchor-text corpus statistics: each resolved link paired "
+        "with its anchor text (frontier/links.py:extract_anchors — "
+        "two JVM regexp passes zipped, no Python), grouped by anchor "
+        "with link counts and destination-host fanout. The link-"
+        "context signal ranking (BM25F anchor field) and anchor-"
+        "corpus training data are built from; non-fetchable links "
+        "(mailto/fragment) contribute nothing. The DuckDB oracle "
+        "pairs hrefs and anchors positionally from the page "
+        "construction — independent of the extraction regexes.",
+)
+def q_anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .frontier import links as L  # noqa: PLC0415
+
+    pages = _outlink_pages(_t(spark, sf_dir, "documents"))
+    pairs = pages.select(
+        F.col("url").alias("base"),
+        F.explode_outer(L.extract_anchors("html")).alias("a"),
+    ).filter(F.col("a").isNotNull())
+    resolved = pairs.select(
+        F.col("a.anchor").alias("anchor"),
+        L.resolve_link(F.col("base"), F.col("a.href")).alias("dst_raw"),
+    ).filter(F.col("dst_raw").isNotNull())
+    return (
+        resolved.select(
+            "anchor",
+            F.regexp_extract("dst_raw", "://([^/?#]+)", 1).alias("host"),
+        )
+        .groupBy("anchor")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
     )
 
 

@@ -69,6 +69,17 @@ class TestResolveMirror:
         )
         assert extract_hrefs_py(html) == ["x", "y", "w"]
 
+    def test_extract_anchors_pairs(self):
+        from edgar_crawler_spark.frontier.links import extract_anchors_py
+
+        html = (
+            '<a href="x">first link</a> text '
+            "<A HREF='y' rel=\"nofollow\">second</a>"
+        )
+        assert extract_anchors_py(html) == [
+            ("x", "first link"), ("y", "second"),
+        ]
+
 
 # envelope: lowercase path segments, optional interleaved ./ and up to
 # 4 ../ segments, optional query string — what real crawl html uses
@@ -135,6 +146,21 @@ class TestSparkPipeline:
         plan = edges._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_extract_anchors_spark_equals_mirror(self, spark):
+        from edgar_crawler_spark.frontier.links import (
+            extract_anchors,
+            extract_anchors_py,
+        )
+
+        html = (
+            '<a href="/a">alpha beta</a><A HREF=\'b/c\'>gamma</a>'
+            '<a href="#f">frag</a>'
+        )
+        df = spark.createDataFrame([(html,)], "html string")
+        [row] = df.select(extract_anchors("html").alias("a")).collect()
+        got = [(x.href, x.anchor) for x in row.a]
+        assert got == extract_anchors_py(html)
 
     def test_binary_html_column(self, spark):
         df = spark.createDataFrame(

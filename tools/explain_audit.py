@@ -327,6 +327,14 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"Join type: LeftAnti", r"explode\(regexp_extract_all"],
      [r"BatchEvalPython|ArrowEvalPython|MapInPandas",
       r"BroadcastNestedLoopJoin"]),
+    # host graph + anchor corpus: same codegen-only contract; the
+    # rollups are two-phase hash aggregates on composite keys
+    ("host_linkgraph",
+     [r"explode\(regexp_extract_all", r"HashAggregate"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    ("anchor_text_stats",
+     [r"zip_with|zipwith", r"HashAggregate"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
