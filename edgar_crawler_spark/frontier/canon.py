@@ -94,3 +94,38 @@ def accession_col(col: Column | str) -> Column:
     """Dashed accession number extracted from a canonical URL."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract(c, ACCESSION_RE.replace("-?", "-"), 0)
+
+
+# public-suffix-lite: the common two-level public suffixes. A full
+# crawl ships the Mozilla PSL as a broadcast dim; this bounded regex
+# variant keeps the operator codegen-only and oracle-runnable (RE2),
+# and the two agree on every host whose suffix is listed here.
+_TWO_LEVEL_SUFFIX_RE = (
+    r"\.(co|com|net|org|gov|ac|edu)\.(uk|au|jp|br|in|nz|za|il|id|kr)$"
+)
+
+
+def reg_domain_col(host: Column | str) -> Column:
+    """Registered domain of a host (crawl-budget / dedup-scope key):
+    last two labels, or last three when the host ends in a two-level
+    public suffix (foo.co.uk -> foo.co.uk, not co.uk). Ports stripped.
+    All JVM regexp — this is a scan-projection expression, never a
+    lookup join, so per-domain budgeting adds zero shuffles."""
+    h = F.col(host) if isinstance(host, str) else host
+    h = F.lower(F.regexp_replace(h, r":\d+$", ""))
+    d = F.when(
+        h.rlike(_TWO_LEVEL_SUFFIX_RE),
+        F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+)$", 1),
+    ).otherwise(F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1))
+    # dotless host (localhost, bare ip label): pass through
+    return F.when(d == "", h).otherwise(d)
+
+
+def reg_domain_py(host: str) -> str:
+    """Pure-python mirror of reg_domain_col."""
+    h = re.sub(r":\d+$", "", host.lower())
+    if re.search(_TWO_LEVEL_SUFFIX_RE, h):
+        m = re.search(r"([^.]+\.[^.]+\.[^.]+)$", h)
+    else:
+        m = re.search(r"([^.]+\.[^.]+)$", h)
+    return m.group(1) if m else h

@@ -46,6 +46,12 @@ _ABS_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
 
 _DOT_PASSES = 4
 
+# a path segment that is NOT '.' or '..' (lookahead-free, RE2-safe):
+# starts with a non-dot, or '.'+non-dot, or '..'+anything — only such
+# segments may be popped by a following '..' (a '..' must never pop
+# another '..', e.g. '/a/../a/../../a' -> '/a').
+_POPPABLE_SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
+
 
 def extract_hrefs(html: Column | str) -> Column:
     """array<string> of raw href attribute values in document order."""
@@ -82,17 +88,37 @@ def extract_anchors_py(html: str) -> list[tuple[str, str]]:
     return re.findall(ANCHOR_RE, html)
 
 
+# sitemap.xml / sitemap-index <loc> entries; whitespace-tolerant,
+# case-insensitive, RE2-safe
+SITEMAP_LOC_RE = "(?is)<loc>\\s*([^<]*?)\\s*</loc>"
+
+
+def extract_sitemap_locs(xml: Column | str) -> Column:
+    """array<string> of <loc> URLs from a sitemap/sitemap-index body —
+    the second discovery channel next to outlinks (robots.txt points
+    at sitemaps; sitemaps enumerate canonical URLs). Same codegen-only
+    contract as extract_hrefs."""
+    c = F.col(xml) if isinstance(xml, str) else xml
+    return F.regexp_extract_all(
+        c.cast("string"), F.lit(SITEMAP_LOC_RE), F.lit(1)
+    )
+
+
+def extract_sitemap_locs_py(xml: str) -> list[str]:
+    return re.findall(SITEMAP_LOC_RE, xml)
+
+
 def _normalize_path(path: Column) -> Column:
     """Bounded dot-segment removal (RFC 3986 §5.2.4 envelope):
     `/./` segments out, then up to _DOT_PASSES levels of `/x/../`
     collapse, then leading `/../` chains clamp to root."""
     p = path
-    for _ in range(2):
+    for _ in range(_DOT_PASSES):
         p = F.regexp_replace(p, r"/\./", "/")
     p = F.regexp_replace(p, r"/\.$", "/")
     for _ in range(_DOT_PASSES):
-        p = F.regexp_replace(p, r"/[^/]+/\.\./", "/")
-    p = F.regexp_replace(p, r"/[^/]+/\.\.$", "/")
+        p = F.regexp_replace(p, "/" + _POPPABLE_SEG + r"/\.\./", "/")
+        p = F.regexp_replace(p, "/" + _POPPABLE_SEG + r"/\.\.$", "/")
     return F.regexp_replace(p, r"^(/\.\.)+(/|$)", "/")
 
 
@@ -157,12 +183,12 @@ def outlink_edges(
 
 def _normalize_path_py(path: str) -> str:
     p = path
-    for _ in range(2):
+    for _ in range(_DOT_PASSES):
         p = re.sub(r"/\./", "/", p)
     p = re.sub(r"/\.$", "/", p)
     for _ in range(_DOT_PASSES):
-        p = re.sub(r"/[^/]+/\.\./", "/", p)
-    p = re.sub(r"/[^/]+/\.\.$", "/", p)
+        p = re.sub("/" + _POPPABLE_SEG + r"/\.\./", "/", p)
+        p = re.sub("/" + _POPPABLE_SEG + r"/\.\.$", "/", p)
     return re.sub(r"^(/\.\.)+(/|$)", "/", p)
 
 

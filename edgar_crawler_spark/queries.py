@@ -4735,6 +4735,133 @@ def q_anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "domain_budget",
+    oracle="""
+    WITH raw AS (
+      SELECT CASE WHEN event_id % 5 = 0 THEN 'www.' ELSE '' END
+             || 'h' || CAST(user_id % 53 AS VARCHAR)
+             || '.ex' || CAST(user_id % 11 AS VARCHAR)
+             || CASE WHEN event_id % 4 = 0 THEN '.com'
+                     WHEN event_id % 4 = 1 THEN '.co.uk'
+                     WHEN event_id % 4 = 2 THEN '.com.au'
+                     ELSE '.org:8080' END AS host,
+             '/p/' || CAST(event_id % 200 AS VARCHAR) AS path
+      FROM events),
+    dom AS (
+      SELECT host,
+             host || path AS url,
+             CASE WHEN regexp_matches(lower(regexp_replace(host,
+                    ':[0-9]+$', '')),
+                    '\\.(co|com|net|org|gov|ac|edu)\\.(uk|au|jp|br|in|nz|za|il|id|kr)$')
+                  THEN regexp_extract(lower(regexp_replace(host,
+                         ':[0-9]+$', '')),
+                         '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                  ELSE regexp_extract(lower(regexp_replace(host,
+                         ':[0-9]+$', '')),
+                         '([^.]+\\.[^.]+)$', 1) END AS reg_domain
+      FROM raw)
+    SELECT reg_domain,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches
+    FROM dom
+    GROUP BY reg_domain
+    """,
+    doc="Crawl-budget allocation table keyed on the REGISTERED domain "
+        "(public-suffix-lite: last two labels, or three under a two-"
+        "level suffix like .co.uk — frontier/canon.py:reg_domain_col, "
+        "a pure scan-projection regexp, zero shuffles added; a full "
+        "deployment swaps in the Mozilla PSL as a broadcast dim with "
+        "the same plan shape). hosts with www subdomains, two-level "
+        "ccTLD suffixes, deep subdomains, and ports are synthesized "
+        "from events identically on both engines; per domain: "
+        "distinct hosts, distinct URLs, total fetches — what a "
+        "politeness-budget planner divides crawl capacity over.",
+)
+def q_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .frontier.canon import reg_domain_col  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.when(F.col("event_id") % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("h"), (F.col("user_id") % 53).cast("string"),
+        F.lit(".ex"), (F.col("user_id") % 11).cast("string"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(".com"))
+        .when(F.col("event_id") % 4 == 1, F.lit(".co.uk"))
+        .when(F.col("event_id") % 4 == 2, F.lit(".com.au"))
+        .otherwise(F.lit(".org:8080")),
+    )
+    dom = ev.select(
+        host.alias("host"),
+        F.concat(host, F.lit("/p/"), (F.col("event_id") % 200).cast("string"))
+        .alias("url"),
+    ).withColumn("reg_domain", reg_domain_col("host"))
+    return dom.groupBy("reg_domain").agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct("url").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_fetches"),
+    )
+
+
+@query(
+    "sitemap_extract",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             coalesce(string_split(text, ' ')[1], 'tok') AS t1,
+             coalesce(string_split(text, ' ')[2], 'tok') AS t2
+      FROM documents),
+    res AS (
+      SELECT doc_id, unnest([
+        'https://' || source || '.example.com/s/' || t1,
+        'https://cdn.example.net/m/' || t2
+      ]) AS loc
+      FROM toks)
+    SELECT regexp_extract(loc, '://([^/?#]+)', 1) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_locs,
+           CAST(COUNT(DISTINCT loc) AS BIGINT) AS n_unique
+    FROM res
+    GROUP BY host
+    """,
+    doc="Sitemap <loc> harvesting — the second discovery channel next "
+        "to outlinks (robots.txt points at sitemaps; sitemaps "
+        "enumerate canonical URLs). Whitespace-tolerant, case-"
+        "insensitive <loc> extraction as one JVM regexp_extract_all "
+        "(frontier/links.py:extract_sitemap_locs); sitemap XML is "
+        "synthesized from documents with mixed-case tags and padding "
+        "whitespace on both engines, and the oracle derives the "
+        "expected URL set independently of the extraction regex.",
+)
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .frontier import links as L  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def tok(i: int):
+        return F.coalesce(F.element_at(toks, i), F.lit("tok"))
+
+    xml = F.concat(
+        F.lit("<urlset><url><loc>\n  https://"), F.col("source"),
+        F.lit(".example.com/s/"), tok(1), F.lit("  \n</loc></url>"),
+        F.lit("<url><LOC>https://cdn.example.net/m/"), tok(2),
+        F.lit("</LOC></url></urlset>"),
+    )
+    locs = docs.select(
+        F.explode_outer(L.extract_sitemap_locs(xml)).alias("loc")
+    ).filter(F.col("loc").isNotNull())
+    return (
+        locs.groupBy(
+            F.regexp_extract("loc", "://([^/?#]+)", 1).alias("host")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_locs"),
+            F.countDistinct("loc").alias("n_unique"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------

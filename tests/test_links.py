@@ -84,6 +84,49 @@ class TestResolveMirror:
 # envelope: lowercase path segments, optional interleaved ./ and up to
 # 4 ../ segments, optional query string — what real crawl html uses
 # and what the bounded regex passes guarantee on both engines.
+class TestRegDomain:
+    CASES = {
+        "www.foo.example.com": "example.com",
+        "foo.co.uk": "foo.co.uk",
+        "a.b.shop.co.uk": "shop.co.uk",
+        "h1.ex2.com.au": "ex2.com.au",
+        "EXAMPLE.ORG:8080": "example.org",
+        "sec.gov": "sec.gov",
+        "deep.sub.tree.example.net": "example.net",
+        "localhost": "localhost",  # no dot: pass through
+    }
+
+    def test_cases_py(self):
+        from edgar_crawler_spark.frontier.canon import reg_domain_py
+
+        for host, want in self.CASES.items():
+            assert reg_domain_py(host) == want, host
+
+    def test_spark_equals_mirror(self, spark):
+        from edgar_crawler_spark.frontier.canon import (
+            reg_domain_col,
+            reg_domain_py,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(h,) for h in self.CASES], "host string"
+        )
+        got = {
+            r.host: r.d
+            for r in df.select(
+                "host", reg_domain_col("host").alias("d")
+            ).collect()
+        }
+        for h in self.CASES:
+            assert got[h] == reg_domain_py(h), h
+        plan = (
+            df.select(reg_domain_col("host"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+
+
 _seg = st.from_regex(r"[a-z][a-z0-9]{0,5}", fullmatch=True)
 _dots = st.sampled_from([".", ".."])
 _rel_path = st.lists(
@@ -169,6 +212,23 @@ class TestSparkPipeline:
         )
         got = [r.dst for r in outlink_edges(df).collect()]
         assert got == ["https://src0.example.com/bin/x"]
+
+    def test_sitemap_locs_spark_equals_mirror(self, spark):
+        from edgar_crawler_spark.frontier.links import (
+            extract_sitemap_locs,
+            extract_sitemap_locs_py,
+        )
+
+        xml = (
+            "<urlset><url><loc>\n https://a.com/x \n</loc></url>"
+            "<url><LOC>https://b.net/y</LOC></url>"
+            "<url><Loc>  https://c.org/z</Loc></url></urlset>"
+        )
+        df = spark.createDataFrame([(xml,)], "xml string")
+        [row] = df.select(extract_sitemap_locs("xml").alias("l")).collect()
+        want = ["https://a.com/x", "https://b.net/y", "https://c.org/z"]
+        assert list(row.l) == want
+        assert extract_sitemap_locs_py(xml) == want
 
     def test_href_re_is_re2_safe_for_duckdb(self):
         import duckdb

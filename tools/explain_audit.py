@@ -335,6 +335,14 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("anchor_text_stats",
      [r"zip_with|zipwith", r"HashAggregate"],
      [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # reg-domain budgeting is a scan-projection regexp + one
+    # two-phase agg; no join anywhere
+    ("domain_budget",
+     [r"HashAggregate", r"regexp_extract"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas", r"Join"]),
+    ("sitemap_extract",
+     [r"explode\(regexp_extract_all", r"HashAggregate"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas", r"Join"]),
 ]
 
 
