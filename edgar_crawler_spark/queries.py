@@ -4877,7 +4877,13 @@ def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      quality_deciles empty-bucket fix, kmeans_embeddings rounding),
 #   3. new round-4 queries,
 # and park the r03-certified rest (pytest + tools/check_oracles.py
-# still cover them every round) behind the window.
+# still cover them every round) behind the window. The six round-4b
+# discovery-family additions (outlink_resolve, frontier_expand,
+# host_linkgraph, anchor_text_stats, domain_budget, sitemap_extract)
+# are also parked: displacing veterans would break the r03∪r04
+# every-query-has-a-recent-driver-row invariant, and the parked set
+# is verified by the driver-identical harness (tools/check_oracles.py,
+# 102/102 this round) — rotate them into the r05 window.
 _DRIVER_WINDOW_FIRST = [
     # veterans: newest driver row is r02 — recertify in r04
     "missing_years", "pricing_summary", "rollup_type_year",
