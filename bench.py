@@ -69,6 +69,12 @@ HEADLINE = [
     # round 4b: outlink discovery family
     "outlink_resolve",
     "frontier_expand",
+    # round 4c: link analysis, re-crawl scheduling, corpus hygiene
+    "hits_scores",
+    "recrawl_schedule",
+    "url_trap_detect",
+    "boilerplate_ngrams",
+    "postings_delta",
 ]
 
 

@@ -4863,49 +4863,519 @@ def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4c: link-analysis + crawl-scheduling + corpus-hygiene depth
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_TOPK = 20
+
+
+def hits_frames(
+    spark: SparkSession, sf_dir: str, iters: int = _HITS_ITERS
+) -> DataFrame:
+    """HITS (Kleinberg 1999) hubs + authorities over the same
+    event-derived directed graph PageRank runs on, L1-normalized
+    (sum-to-1 — division and rounding are engine-portable; the usual
+    L2 norm only rescales scores, never reorders them).
+
+    Per round: hub(u) = sum of auth(v) over u->v, normalize, round
+    10 dp; auth(v) = sum of hub(u) over u->v, normalize, round 10 dp.
+    Each half-step is one edges-to-scores equi-join + one sum
+    aggregate keyed on the high-cardinality node id; each L1 norm is
+    a 1-row aggregate broadcast back via crossJoin — nothing
+    driver-side scales with the graph. Both half-step results end in
+    a lazy localCheckpoint: `hubs` feeds two consumers (the auth
+    update and the final output) and `scores` re-enters the next
+    round, the same per-round lineage cut as pagerank_ranks /
+    operators/bpe.py (plan depth pinned flat by
+    tests/test_round4c_ops.py). Returns (node, auth, hub) at full
+    10-dp precision.
+    """
+    ev = _t(spark, sf_dir, "events")
+    src = (F.col("user_id") % _PR_MOD).alias("src")
+    dst = ((F.col("user_id") * 7 + F.col("event_id")) % _PR_MOD).alias("dst")
+    edges = (
+        ev.select(src, dst)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = tracked_cache(edges)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = tracked_cache(nodes)
+    scores = nodes.select("node", F.lit(1.0).alias("auth"))
+    hubs = None
+    for _ in range(iters):
+        h_raw = (
+            edges.join(scores.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("h"))
+        )
+        hubs = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce("h", F.lit(0.0)).alias("h")
+        )
+        hsum = hubs.agg(F.sum("h").alias("hs"))
+        hubs = (
+            hubs.crossJoin(F.broadcast(hsum))  # 1-row L1 norm
+            .select(
+                "node",
+                F.round(F.col("h") / F.col("hs"), 10).alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        a_raw = (
+            edges.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        auths = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce("a", F.lit(0.0)).alias("a")
+        )
+        asum = auths.agg(F.sum("a").alias("asum"))
+        scores = (
+            auths.crossJoin(F.broadcast(asum))  # 1-row L1 norm
+            .select(
+                "node",
+                F.round(F.col("a") / F.col("asum"), 10).alias("auth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return scores.join(hubs, "node")
+
+
+def _oracle_hits_sql(iters: int = _HITS_ITERS) -> str:
+    """Unrolled-iteration DuckDB HITS mirror: same L1 normalization
+    and 10-dp per-half-step rounding as hits_frames."""
+    parts = [f"""
+    e AS ({_pr_edges_sql()}),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    s0 AS (SELECT node, 1.0 AS auth FROM nodes)"""]
+    for i in range(iters):
+        nxt = i + 1
+        parts.append(f"""
+    hr{i} AS (
+      SELECT e.src AS node, SUM(s.auth) AS h
+      FROM e JOIN s{i} s ON s.node = e.dst
+      GROUP BY e.src),
+    hn{i} AS (
+      SELECT n.node, COALESCE(h.h, 0.0) AS h
+      FROM nodes n LEFT JOIN hr{i} h ON h.node = n.node),
+    hs{i} AS (SELECT SUM(h) AS hs FROM hn{i}),
+    h{nxt} AS (
+      SELECT node, ROUND(h / hs, 10) AS hub
+      FROM hn{i} CROSS JOIN hs{i}),
+    ar{i} AS (
+      SELECT e.dst AS node, SUM(h.hub) AS a
+      FROM e JOIN h{nxt} h ON h.node = e.src
+      GROUP BY e.dst),
+    an{i} AS (
+      SELECT n.node, COALESCE(a.a, 0.0) AS a
+      FROM nodes n LEFT JOIN ar{i} a ON a.node = n.node),
+    asum{i} AS (SELECT SUM(a) AS asum FROM an{i}),
+    s{nxt} AS (
+      SELECT node, ROUND(a / asum, 10) AS auth
+      FROM an{i} CROSS JOIN asum{i})""")
+    return (
+        "WITH" + ",".join(parts) + f"""
+    SELECT s.node, ROUND(s.auth, 6) AS authority, ROUND(h.hub, 6) AS hub
+    FROM s{iters} s JOIN h{iters} h ON h.node = s.node
+    ORDER BY ROUND(s.auth, 6) DESC, s.node ASC
+    LIMIT {_HITS_TOPK}
+    """
+    )
+
+
+@query(
+    "hits_scores",
+    oracle=_oracle_hits_sql(),
+    doc=f"HITS hubs + authorities ({_HITS_ITERS} unrolled rounds, L1 "
+        "norm, per-half-step 10-dp rounding) over the event-derived "
+        "link graph; top-20 nodes by authority with their hub score. "
+        "Complements pagerank_topk: the mutually-recursive two-score "
+        "update is the classic anchor-graph ranking for crawl seed "
+        "selection (good hubs discover new authorities first). Same "
+        "scale shape as PageRank — two equi-join+agg passes per "
+        "round, 1-row norm broadcasts, per-round localCheckpoint "
+        "lineage cut — so per-round cost is flat in iteration count.",
+)
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = hits_frames(spark, sf_dir, _HITS_ITERS)
+    return (
+        s.select(
+            "node",
+            F.round("auth", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), F.asc("node"))
+        .limit(_HITS_TOPK)
+    )
+
+
+@query(
+    "recrawl_schedule",
+    oracle="""
+    WITH f AS (
+      SELECT user_id AS url_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS v
+      FROM events),
+    o AS (
+      SELECT url_id, sec, v,
+             lag(v) OVER (PARTITION BY url_id
+                          ORDER BY sec, event_id) AS pv,
+             sec - lag(sec) OVER (PARTITION BY url_id
+                                  ORDER BY sec, event_id) AS gap
+      FROM f),
+    s AS (
+      SELECT url_id,
+             CAST(COUNT(pv) AS BIGINT) AS n_checks,
+             CAST(COALESCE(SUM(CASE WHEN v <> pv THEN 1 END), 0)
+                  AS BIGINT) AS n_changes,
+             AVG(gap) / 86400.0 AS ibar
+      FROM o WHERE pv IS NOT NULL GROUP BY url_id)
+    SELECT url_id, n_checks, n_changes,
+           ROUND(CASE WHEN n_changes > 0 THEN
+             -ln((n_checks - n_changes + 0.5) / (n_checks + 0.5)) / ibar
+           END, 6) AS lambda_day,
+           ROUND(CASE WHEN n_changes > 0 THEN
+             ibar / -ln((n_checks - n_changes + 0.5) / (n_checks + 0.5))
+           END, 6) AS revisit_days
+    FROM s
+    """,
+    doc="Adaptive re-crawl scheduling: per URL (user_id plays the "
+        "URL), the fetch log's consecutive content versions (UTC day "
+        "of the fetch — a deterministic stand-in for the page "
+        "fingerprint) are compared with a lag window to count "
+        "observed changes among n checks, then the Cho & "
+        "Garcia-Molina (TOIT 2003) bias-corrected Poisson estimator "
+        "lambda = -ln((n - X + 0.5)/(n + 0.5)) / mean-interval gives "
+        "the per-URL change rate and 1/lambda the revisit interval "
+        "the scheduler feeds back into frontier priority. URLs with "
+        "no observed change emit NULL (never-resample is wrong; the "
+        "scheduler assigns them the exploration floor downstream). "
+        "One lag window partitioned by the high-cardinality url key "
+        "+ one hash aggregate; no driver-side state.",
+)
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    f = ev.select(
+        F.col("user_id").alias("url_id"),
+        F.col("event_id"),
+        sec.alias("sec"),
+        F.floor(sec / F.lit(86400)).cast("long").alias("v"),
+    )
+    w = W.partitionBy("url_id").orderBy("sec", "event_id")
+    o = f.select(
+        "url_id", "sec", "v",
+        F.lag("v").over(w).alias("pv"),
+        (F.col("sec") - F.lag("sec").over(w)).alias("gap"),
+    ).filter(F.col("pv").isNotNull())
+    s = o.groupBy("url_id").agg(
+        F.count("pv").alias("n_checks"),
+        F.coalesce(
+            F.sum(F.when(F.col("v") != F.col("pv"), 1)), F.lit(0)
+        ).alias("n_changes"),
+        (F.avg("gap") / F.lit(86400.0)).alias("ibar"),
+    )
+    neg_ln = -F.log(
+        (F.col("n_checks") - F.col("n_changes") + F.lit(0.5))
+        / (F.col("n_checks") + F.lit(0.5))
+    )
+    changed = F.col("n_changes") > 0
+    return s.select(
+        "url_id", "n_checks", "n_changes",
+        F.round(F.when(changed, neg_ln / F.col("ibar")), 6).alias(
+            "lambda_day"
+        ),
+        F.round(F.when(changed, F.col("ibar") / neg_ln), 6).alias(
+            "revisit_days"
+        ),
+    )
+
+
+_TRAP_MIN_URLS = 20
+
+
+@query(
+    "url_trap_detect",
+    oracle=f"""
+    WITH log AS (
+      SELECT unnest([
+        'https://h' || CAST(user_id % 5 AS VARCHAR)
+          || '.example.com/cal/' || strftime(ts, '%Y-%m-%d')
+          || '/item' || CAST(event_id AS VARCHAR),
+        'https://h' || CAST(user_id % 5 AS VARCHAR)
+          || '.example.com/t/' || event_type
+      ]) AS dst
+      FROM events)
+    SELECT regexp_extract(dst, '://([^/?#]+)', 1) AS host,
+           regexp_replace(regexp_extract(dst, '://[^/?#]+([^?#]*)', 1),
+                          '[0-9]+', 'N', 'g') AS template,
+           CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_urls,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           COUNT(DISTINCT dst) >= {_TRAP_MIN_URLS} AS trap_flag
+    FROM log
+    GROUP BY host, template
+    """,
+    doc="Crawler-trap detection over the fetch log: every URL is "
+        "collapsed to its (host, path-template) with digit runs "
+        "replaced by N — calendar pages, session ids, and pagination "
+        "spiders all explode inside ONE template — then the "
+        "per-template distinct-URL count flags URL-space explosions "
+        f"the frontier should budget-cap (threshold {_TRAP_MIN_URLS} "
+        "distinct URLs here; production sets it per registered "
+        "domain, feeding domain_budget). The deterministic log "
+        "synthesizes both classes from events: a /cal/DATE/itemID "
+        "calendar trap whose template swallows thousands of URLs, "
+        "and a finite /t/<type> nav family that must NOT flag. "
+        "Both regexes are RE2-safe so the DuckDB oracle runs the "
+        "same logic. One scan projection + one two-phase hash "
+        "aggregate on the composite template key; COUNT(DISTINCT "
+        "dst) expands to the high-cardinality (host, template, dst) "
+        "composite so no small key ever carries a data-sized "
+        "shuffle alone — the same discipline as url_canonical_hosts.",
+)
+def q_url_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("https://h"), (F.col("user_id") % 5).cast("string"),
+        F.lit(".example.com"),
+    )
+    cal = F.concat(
+        host, F.lit("/cal/"), F.date_format("ts", "yyyy-MM-dd"),
+        F.lit("/item"), F.col("event_id").cast("string"),
+    )
+    nav = F.concat(host, F.lit("/t/"), F.col("event_type"))
+    log = ev.select(F.explode(F.array(cal, nav)).alias("dst"))
+    tmpl = F.regexp_replace(
+        F.regexp_extract("dst", "://[^/?#]+([^?#]*)", 1), "[0-9]+", "N"
+    )
+    return (
+        log.select(
+            F.regexp_extract("dst", "://([^/?#]+)", 1).alias("host"),
+            tmpl.alias("template"),
+            "dst",
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.countDistinct("dst").alias("n_urls"),
+            F.count(F.lit(1)).alias("n_links"),
+            (F.countDistinct("dst") >= _TRAP_MIN_URLS).alias("trap_flag"),
+        )
+    )
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(
+               lower('menu ' || source || ' home login search ' || text),
+               '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             unnest([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     for i in generate_series(1, len(w) - 2)]) AS gh
+      FROM base),
+    dfs AS (
+      SELECT source, gh,
+             CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM g GROUP BY source, gh),
+    nd AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source)
+    SELECT d.source,
+           CAST(SUM(CASE WHEN 5 * d.df >= 4 * nd.n_docs
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN 5 * d.df >= 4 * nd.n_docs
+                         THEN d.n_occ ELSE 0 END) AS BIGINT) AS boiler_occ,
+           CAST(SUM(d.n_occ) AS BIGINT) AS total_occ,
+           ROUND(SUM(CASE WHEN 5 * d.df >= 4 * nd.n_docs
+                          THEN d.n_occ ELSE 0 END) * 1.0
+                 / SUM(d.n_occ), 4) AS boiler_mass
+    FROM dfs d JOIN nd ON nd.source = d.source
+    GROUP BY d.source
+    """,
+    doc="Per-host boilerplate detection (the CCNet / Dresden "
+        "line-dedup idea on word trigrams): each page gets its host's "
+        "deterministic nav header prepended (the toy stand-in for "
+        "shared chrome), trigrams with document frequency >= 80% of "
+        "the host's pages are BOILERPLATE, and the query reports per "
+        "host how many template trigrams exist and what fraction of "
+        "the host's total trigram mass they carry — the number a "
+        "training-data pipeline uses to decide how much of a host is "
+        "chrome vs content before dedup/quality scoring. Trigrams "
+        "travel as md5 hashes so text never shuffles "
+        "(dup_span_profile discipline); df+occurrence come from ONE "
+        "two-phase aggregate keyed on the high-cardinality (source, "
+        "gram-hash); the 80% threshold compares 5*df >= 4*n_docs in "
+        "exact integers so no float boundary can split the engines; "
+        "the per-host doc-count dim is broadcast-sized.",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        " ", F.lit("menu"), F.col("source"),
+        F.lit("home login search"), F.col("text"),
+    )
+    toks = docs.select(
+        "doc_id", "source", D.tokens_col(page).alias("w")
+    )
+    g = (
+        toks.select(
+            "doc_id", "source",
+            F.explode_outer(
+                F.transform(D.ngrams_col(F.col("w"), 3), F.md5)
+            ).alias("gh"),
+        )
+        .filter(F.col("gh").isNotNull())
+    )
+    dfs = g.groupBy("source", "gh").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = F.col("df") * 5 >= F.col("n_docs") * 4
+    return (
+        dfs.join(F.broadcast(nd), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(boiler, 1).otherwise(0)).alias("n_boiler"),
+            F.sum(F.when(boiler, F.col("n_occ")).otherwise(0)).alias(
+                "boiler_occ"
+            ),
+            F.sum("n_occ").alias("total_occ"),
+            F.round(
+                F.sum(F.when(boiler, F.col("n_occ")).otherwise(0))
+                / F.sum("n_occ"),
+                4,
+            ).alias("boiler_mass"),
+        )
+    )
+
+
+@query(
+    "postings_delta",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT t AS token, doc_id
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    g AS (
+      SELECT token,
+             COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY token
+                                                 ORDER BY doc_id),
+                      doc_id) AS gapv
+      FROM p)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(length(bin(gapv))) AS BIGINT) AS bits_delta,
+           CAST(32 * COUNT(*) AS BIGINT) AS bits_fixed,
+           ROUND(SUM(length(bin(gapv))) * 1.0 / (32 * COUNT(*)), 4)
+             AS ratio
+    FROM g
+    GROUP BY token
+    """,
+    doc="Posting-list gap encoding planner: the inverted index's "
+        "(token, doc_id) stream is delta-encoded per token — each "
+        "posting stores only its gap to the previous doc_id — and "
+        "the query reports the per-token variable-length bit cost "
+        "(gamma/varint-style: floor(log2(gap))+1 bits, computed "
+        "EXACTLY as length(bin(gap)) so no float log2 boundary can "
+        "split the engines) against fixed 32-bit postings. This is "
+        "the sizing pass an index builder runs before choosing "
+        "per-token codecs. Unlike the collect_list index, the gaps "
+        "come from a lag window over the DISTINCT (token, doc_id) "
+        "stream — state per task is one previous row, not one "
+        "posting array, so head tokens never materialize "
+        "driver-or-task-sized lists; at 100 TB the df-cap head "
+        "routing of inverted_index applies upstream unchanged.",
+)
+def q_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    p = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(D.tokens_col("text")).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+        .distinct()
+    )
+    w = W.partitionBy("token").orderBy("doc_id")
+    g = p.select(
+        "token",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id")
+        ).alias("gapv"),
+    )
+    bits = F.length(F.bin("gapv"))
+    return g.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(bits).alias("bits_delta"),
+        (F.lit(32) * F.count(F.lit(1))).alias("bits_fixed"),
+        F.round(
+            F.sum(bits) / (F.lit(32) * F.count(F.lit(1))), 4
+        ).alias("ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 
 # The round driver certifies the FIRST 50 registered queries
-# (rows+schema+value-hash vs the DuckDB oracle at sf0.01). VERDICT r03
-# ask #2: rotate the window each round so every registered query keeps
-# a fresh driver row within the last two rounds. Front-load:
-#   1. the 39 veterans whose last driver row is r02 (parked behind the
-#      window in r03 while the round-2/3 additions were certified),
-#   2. the queries whose PLANS changed this round (re-verification:
-#      pagerank_topk lineage cut, dedup_canonical bigram shingles,
-#      quality_deciles empty-bucket fix, kmeans_embeddings rounding),
-#   3. new round-4 queries,
-# and park the r03-certified rest (pytest + tools/check_oracles.py
-# still cover them every round) behind the window. The six round-4b
-# discovery-family additions (outlink_resolve, frontier_expand,
-# host_linkgraph, anchor_text_stats, domain_budget, sitemap_extract)
-# are also parked: displacing veterans would break the r03∪r04
-# every-query-has-a-recent-driver-row invariant, and the parked set
-# is verified by the driver-identical harness (tools/check_oracles.py,
-# 102/102 this round) — rotate them into the r05 window.
+# (rows+schema+value-hash vs the DuckDB oracle at sf0.01). With 107
+# registered queries and 50 certified in r03, full r03∪r04 coverage
+# is arithmetically impossible (57 lack an r03 row); the window is
+# therefore allocated by priority:
+#   1. every query that has NEVER had a driver row (the 18 round-4
+#      additions — VERDICT r02 #1 made zero-row queries the worst
+#      class, so they outrank staleness),
+#   2. the re-certs VERDICT r03 explicitly requires an r04 driver row
+#      for (ask #1 pagerank_topk's lineage cut, ask #4
+#      dedup_canonical's bigram-shingle reshape),
+#   3. as many of the 39 r02-certified veterans as fit (30).
+# The overflow — 9 veterans keeping their r02-green rows
+# (filename_derivation, filename_parse, macrodiscl_score,
+# macrodiscl_summary, media_decode_meta, media_frame_sample,
+# missing_years_arrays, bpeish_token_count, winnow_fingerprints: the
+# nine with the strongest independent evidence — byte-parity or
+# dedicated property/pytest suites) and the two ADVICE-level re-certs
+# (quality_deciles, kmeans_embeddings, r03-green, fix-specific tests
+# in test_round4_ops.py) — stays covered every round by the
+# driver-identical harness (tools/check_oracles.py, 107/107 this
+# round). The invariant test (test_round3_ops.py::TestDriverWindow)
+# pins: window == first 50 registered, and NO never-certified query
+# outside it.
 _DRIVER_WINDOW_FIRST = [
-    # veterans: newest driver row is r02 — recertify in r04
+    # 1. never driver-certified: round-4 additions
+    "pagerank_deep", "bfs_reachability", "warc_revisit_resolve",
+    "robots_prefix_match", "salted_host_agg", "bigram_lm_xent",
+    "source_kl_drift", "outlink_resolve", "frontier_expand",
+    "host_linkgraph", "anchor_text_stats", "domain_budget",
+    "sitemap_extract", "hits_scores", "recrawl_schedule",
+    "url_trap_detect", "boilerplate_ngrams", "postings_delta",
+    # 2. plan changed in round 4 — r04 driver row required by VERDICT
+    "pagerank_topk", "dedup_canonical",
+    # 3. veterans: newest driver row is r02 — recertify in r04
     "missing_years", "pricing_summary", "rollup_type_year",
     "recent_per_firm", "keep_last_dedup", "priority_topk",
     "wave_assignment", "sessionize", "union_dedup_merge", "set_except",
-    "filename_derivation", "filename_parse", "seed_list_build",
-    "macrodiscl_score", "macrodiscl_summary", "missing_years_arrays",
-    "dedup_exact", "token_stats", "quality_score", "lang_agreement",
-    "fingerprint_prefix", "dedup_norm_exact", "minhash_lsh_pairs",
-    "simhash_dedup", "jaccard_bigram_pairs", "embedding_neardup",
-    "ann_lsh_topk", "media_decode_meta", "media_frame_sample",
-    "bpeish_token_count", "winnow_fingerprints", "ann_ivf_topk",
+    "seed_list_build", "dedup_exact", "token_stats", "quality_score",
+    "lang_agreement", "fingerprint_prefix", "dedup_norm_exact",
+    "minhash_lsh_pairs", "simhash_dedup", "jaccard_bigram_pairs",
+    "embedding_neardup", "ann_lsh_topk", "ann_ivf_topk",
     "ann_cosine_topk", "embedding_norms", "dedup_clusters",
     "split_assign", "repetition_ratio", "langid_ngram",
     "idf_doc_score",
-    # plan changed in round 4 — recertify
-    "pagerank_topk", "dedup_canonical", "quality_deciles",
-    "kmeans_embeddings",
-    # new round-4 queries
-    "pagerank_deep", "bfs_reachability", "warc_revisit_resolve",
-    "robots_prefix_match", "salted_host_agg", "bigram_lm_xent",
-    "source_kl_drift",
 ]
 
 
