@@ -75,6 +75,8 @@ HEADLINE = [
     "url_trap_detect",
     "boilerplate_ngrams",
     "postings_delta",
+    "trustrank_topk",
+    "link_reciprocity",
 ]
 
 

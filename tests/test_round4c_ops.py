@@ -136,6 +136,70 @@ class TestBoilerplateNgrams:
             assert 0 < r.boiler_mass < 1, r
 
 
+class TestTrustrank:
+    def test_plan_depth_flat_in_iters(self, spark):
+        from edgar_crawler_spark.queries import trustrank_ranks
+
+        try:
+            p2 = trustrank_ranks(
+                spark, SF_MED, iters=2
+            )._jdf.queryExecution().analyzed().toString()
+            p10 = trustrank_ranks(
+                spark, SF_MED, iters=10
+            )._jdf.queryExecution().analyzed().toString()
+        finally:
+            release_caches()
+        assert p2.count("Join") == p10.count("Join")
+        assert "LogicalRDD" in p10
+
+    def test_mass_conserved_and_seed_floor(self, spark):
+        """Teleport (1-d)·s plus d·(links + dangling·s) conserves
+        total mass 1; every seed keeps at least its teleport floor
+        (1-d)/|S|, and trust concentrates vs uniform PageRank."""
+        from edgar_crawler_spark.queries import (
+            _PR_D,
+            _TR_SEED_MOD,
+            trustrank_ranks,
+        )
+
+        try:
+            rows = trustrank_ranks(spark, SF_MED, iters=3).collect()
+        finally:
+            release_caches()
+        total = sum(r.r for r in rows)
+        assert abs(total - 1.0) < 1e-6, total
+        seeds = [r for r in rows if r.node % _TR_SEED_MOD == 0]
+        floor = (1.0 - _PR_D) / len(seeds)
+        assert seeds and all(r.r >= floor - 1e-9 for r in seeds)
+
+
+class TestLinkReciprocity:
+    def test_matches_python_reference(self, spark):
+        """Recompute reciprocity from the raw event log in Python."""
+        from edgar_crawler_spark.queries import _PR_MOD, QUERIES
+
+        got = {
+            r.host: (r.n_out, r.n_recip, r.reciprocity)
+            for r in QUERIES["link_reciprocity"].fn(spark, SF_SMALL).collect()
+        }
+        ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+        edges = {
+            (e.user_id % _PR_MOD, (e.user_id * 7 + e.event_id) % _PR_MOD)
+            for e in ev
+            if e.user_id % _PR_MOD != (e.user_id * 7 + e.event_id) % _PR_MOD
+        }
+        ref: dict[int, list[int]] = {}
+        for s, d in edges:
+            out, rec = ref.setdefault(s, [0, 0])
+            ref[s][0] += 1
+            ref[s][1] += (d, s) in edges
+        assert set(got) == set(ref)
+        for h, (n_out, n_recip) in ref.items():
+            assert got[h] == (n_out, n_recip, round(n_recip / n_out, 4)), h
+        # each reciprocated ordered edge has a mirror: total is even
+        assert sum(v[1] for v in ref.values()) % 2 == 0
+
+
 class TestPostingsDelta:
     def test_bits_match_python_reference(self, spark):
         """Recompute the gap bit cost in pure Python from the raw
