@@ -3929,7 +3929,8 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_ranks(
-    spark: SparkSession, sf_dir: str, iters: int = _PR_ITERS
+    spark: SparkSession, sf_dir: str, iters: int = _PR_ITERS,
+    mod: int = _PR_MOD,
 ) -> DataFrame:
     """Power-iteration PageRank over the event-derived graph.
 
@@ -3944,8 +3945,8 @@ def pagerank_ranks(
     independent of ``iters`` (pinned by tests/test_round4_ops.py).
     """
     ev = _t(spark, sf_dir, "events")
-    src = (F.col("user_id") % _PR_MOD).alias("src")
-    dst = ((F.col("user_id") * 7 + F.col("event_id")) % _PR_MOD).alias("dst")
+    src = (F.col("user_id") % mod).alias("src")
+    dst = ((F.col("user_id") * 7 + F.col("event_id")) % mod).alias("dst")
     edges = (
         ev.select(src, dst)
         .filter(F.col("src") != F.col("dst"))
@@ -4871,7 +4872,8 @@ _HITS_TOPK = 20
 
 
 def hits_frames(
-    spark: SparkSession, sf_dir: str, iters: int = _HITS_ITERS
+    spark: SparkSession, sf_dir: str, iters: int = _HITS_ITERS,
+    mod: int = _PR_MOD,
 ) -> DataFrame:
     """HITS (Kleinberg 1999) hubs + authorities over the same
     event-derived directed graph PageRank runs on, L1-normalized
@@ -4892,8 +4894,8 @@ def hits_frames(
     10-dp precision.
     """
     ev = _t(spark, sf_dir, "events")
-    src = (F.col("user_id") % _PR_MOD).alias("src")
-    dst = ((F.col("user_id") * 7 + F.col("event_id")) % _PR_MOD).alias("dst")
+    src = (F.col("user_id") % mod).alias("src")
+    dst = ((F.col("user_id") * 7 + F.col("event_id")) % mod).alias("dst")
     edges = (
         ev.select(src, dst)
         .filter(F.col("src") != F.col("dst"))
@@ -5331,7 +5333,8 @@ _TR_SEED_MOD = 13  # trusted seed set: node % 13 == 0 (16 of 200 nodes)
 
 
 def trustrank_ranks(
-    spark: SparkSession, sf_dir: str, iters: int = _PR_ITERS
+    spark: SparkSession, sf_dir: str, iters: int = _PR_ITERS,
+    mod: int = _PR_MOD,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004):
     PageRank with the teleport vector restricted to a trusted seed
@@ -5345,8 +5348,8 @@ def trustrank_ranks(
     s(v) = 1/|S| for seeds and 0 elsewhere.
     """
     ev = _t(spark, sf_dir, "events")
-    src = (F.col("user_id") % _PR_MOD).alias("src")
-    dst = ((F.col("user_id") * 7 + F.col("event_id")) % _PR_MOD).alias("dst")
+    src = (F.col("user_id") % mod).alias("src")
+    dst = ((F.col("user_id") * 7 + F.col("event_id")) % mod).alias("dst")
     edges = (
         ev.select(src, dst)
         .filter(F.col("src") != F.col("dst"))
@@ -5499,10 +5502,12 @@ def q_trustrank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host pairs and the host-graph (10^8 edges) is orders below "
         "URL cardinality.",
 )
-def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_link_reciprocity(
+    spark: SparkSession, sf_dir: str, mod: int = _PR_MOD
+) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    src = (F.col("user_id") % _PR_MOD).alias("src")
-    dst = ((F.col("user_id") * 7 + F.col("event_id")) % _PR_MOD).alias("dst")
+    src = (F.col("user_id") % mod).alias("src")
+    dst = ((F.col("user_id") * 7 + F.col("event_id")) % mod).alias("dst")
     edges = (
         ev.select(src, dst)
         .filter(F.col("src") != F.col("dst"))
