@@ -83,18 +83,29 @@ def build(spark, rebuild: bool = False) -> None:
     specs = {
         "documents": (["doc_id"], "text"),
         "embeddings": (["vec_id"], "embedding"),
+        # events: fresh user/event id ranges per copy — 100x distinct
+        # URLs for recrawl/trap, and (with mod grown to 20000) a 109x
+        # edge set for the iterative-graph probes
+        "events": (["user_id", "event_id"], None),
     }
     for name, (id_cols, payload) in specs.items():
         out = os.path.join(DST, f"{name}.parquet")
+        if os.path.islink(out):  # pre-round-4c layout symlinked events
+            os.unlink(out)
         if os.path.exists(out) and not rebuild:
             continue
         src = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
         n = src.count()
+        offsets = {
+            c: int(src.agg(F.max(c)).collect()[0][0]) + 1 for c in id_cols
+        }
         parts = []
         for i in range(COPIES):
             df = src
             for c in id_cols:
-                df = df.withColumn(c, F.col(c) + F.lit(i * n).cast("long"))
+                df = df.withColumn(
+                    c, F.col(c) + F.lit(i * offsets[c]).cast("long")
+                )
             if i > 0 and payload == "text":
                 df = df.withColumn("text", _salt_tokens(F.col("text"), i))
             if i > 0 and payload == "embedding":
@@ -135,6 +146,14 @@ def main() -> None:
         "sparse_cosine_pairs",
         "pack_sequences",
         "dedup_canonical",
+        # round 4c: corpus-hygiene family (documents: salted tokens
+        # keep per-copy df constant; trigram/posting cardinality and
+        # output grow linearly) + scheduling family (events: fresh
+        # user/event ids per copy -> 100x URLs)
+        "boilerplate_ngrams",
+        "postings_delta",
+        "recrawl_schedule",
+        "url_trap_detect",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:
@@ -191,6 +210,44 @@ def main() -> None:
         }
         print(f"{name + '@policy':28s} {t_small:7.2f}s -> {t_big:7.2f}s  "
               f"x{t_big / t_small:6.2f}", file=sys.stderr)
+
+    # iterative-graph probes: the registered fixtures pin the node
+    # space at mod=200 (saturated by sf0.1's 100k events), so the
+    # 100x side grows mod to 20000 — measured 36.5k -> 3.99M distinct
+    # edges (109x) on the replicated log. Same registered code path,
+    # same iters; only the node-space knob moves.
+    from edgar_crawler_spark.queries import (  # noqa: PLC0415
+        hits_frames,
+        pagerank_ranks,
+        trustrank_ranks,
+    )
+
+    graph = [
+        ("pagerank_ranks", pagerank_ranks),
+        ("hits_frames", hits_frames),
+        ("trustrank_ranks", trustrank_ranks),
+    ]
+    if only:
+        graph = [g for g in graph if g[0] in only]
+    if "--policy-only" in sys.argv:
+        graph = []
+    for name, fn in graph:
+        t0 = time.perf_counter()
+        force(fn(spark, SRC, iters=3, mod=200))
+        t_small = time.perf_counter() - t0
+        release_caches()
+        t0 = time.perf_counter()
+        force(fn(spark, DST, iters=3, mod=20000))
+        t_big = time.perf_counter() - t0
+        release_caches()
+        out[f"{name}@mod20000"] = {
+            "sf0.1_sec": round(t_small, 3),
+            "x100_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+            "edges": "36.5k->3.99M (109x)",
+        }
+        print(f"{name + '@mod20000':28s} {t_small:7.2f}s -> "
+              f"{t_big:7.2f}s  x{t_big / t_small:6.2f}", file=sys.stderr)
 
     print(json.dumps({"probe": "x100_plan_stability", "copies": COPIES,
                       "queries": out}))

@@ -343,6 +343,36 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("sitemap_extract",
      [r"explode\(regexp_extract_all", r"HashAggregate"],
      [r"BatchEvalPython|ArrowEvalPython|MapInPandas", r"Join"]),
+    # round 4c. recrawl: ONE exchange on the url key feeds both the
+    # lag window and the per-url aggregate (partitioning reuse); the
+    # estimator is pure codegen arithmetic
+    ("recrawl_schedule",
+     [r"Window", r"hashpartitioning\(url_id#\d+"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas", r"Join"]),
+    # trap detection: scan-projection regexes + one two-phase agg on
+    # (host, template); distinct-URL expansion is map-side partial
+    ("url_trap_detect",
+     [r"partial_count", r"regexp_replace", r"HashAggregate"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas", r"Join"]),
+    # boilerplate: the per-host doc-count dim broadcasts; trigram df
+    # aggregates two-phase on (source, md5-hash); raw text must never
+    # key an exchange
+    ("boilerplate_ngrams",
+     [r"BroadcastHashJoin", r"partial_count"],
+     [r"SortMergeJoin", r"hashpartitioning\([^)]*text#",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # posting gaps: lag window partitioned on the token key; no
+    # posting arrays (collect_list) anywhere
+    ("postings_delta",
+     [r"Window", r"hashpartitioning\(token#\d+"],
+     [r"collect_list",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # reciprocity: equi-join on the flipped (src, dst) composite —
+    # never a nested-loop product
+    ("link_reciprocity",
+     [r"Left keys \[2\]", r"HashAggregate"],
+     [r"BroadcastNestedLoopJoin",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
