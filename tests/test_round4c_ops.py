@@ -200,6 +200,50 @@ class TestLinkReciprocity:
         assert sum(v[1] for v in ref.values()) % 2 == 0
 
 
+class TestRedirectResolve:
+    def test_matches_python_chase_and_log_rounds(self, spark):
+        """Resolve every chain by naive pointer-chasing in Python and
+        compare; 3 doubling rounds must cover the max 7-hop chain
+        (2^3 >= 7) — the log2 property that makes the operator's
+        round count data-independent."""
+        from edgar_crawler_spark.queries import QUERIES
+
+        got = {
+            r.final_url: (r.n_urls, r.max_hops)
+            for r in QUERIES["redirect_resolve"].fn(spark, SF_SMALL).collect()
+        }
+        n = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+
+        def url(i: int) -> str:
+            return f"https://h{i % 7}.example.com/p{i}"
+
+        ref: dict[str, list[int]] = {}
+        max_chain = 0
+        for i in range(n):
+            j, hops = i, 0
+            while j % 8 != 0:
+                j, hops = j - 1, hops + 1
+            max_chain = max(max_chain, hops)
+            agg = ref.setdefault(url(j), [0, 0])
+            agg[0] += 1
+            agg[1] = max(agg[1], hops)
+        assert 2 ** 3 >= max_chain
+        assert got == {k: tuple(v) for k, v in ref.items()}
+
+    def test_plan_flat_in_rounds(self, spark):
+        """Each doubling round ends in a localCheckpoint, so the
+        final plan contains ONE round's join whatever the chain
+        length resolved."""
+        from edgar_crawler_spark.queries import QUERIES
+
+        plan = (
+            QUERIES["redirect_resolve"].fn(spark, SF_SMALL)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        assert plan.count("Join") <= 1
+        assert "LogicalRDD" in plan
+
+
 class TestPostingsDelta:
     def test_bits_match_python_reference(self, spark):
         """Recompute the gap bit cost in pure Python from the raw
