@@ -78,6 +78,7 @@ HEADLINE = [
     "trustrank_topk",
     "link_reciprocity",
     "redirect_resolve",
+    "lpa_communities",
 ]
 
 

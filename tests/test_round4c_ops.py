@@ -244,6 +244,52 @@ class TestRedirectResolve:
         assert "LogicalRDD" in plan
 
 
+class TestLpaCommunities:
+    def test_recovers_planted_blocks(self, spark):
+        """The planted-partition graph has 10 dense blocks of 20
+        nodes with one sparse cross-link family; 2 LPA rounds must
+        recover a block-dominated structure: every community size is
+        a multiple-of-block-scale mass (>= 20), total mass is the
+        node count, and far fewer communities than nodes remain."""
+        from edgar_crawler_spark.queries import QUERIES
+
+        rows = QUERIES["lpa_communities"].fn(spark, SF_MED).collect()
+        # node universe from the raw log (sf0.01 has 150 user ids, so
+        # the planted 200-node space is only partially populated)
+        ev = spark.read.parquet(f"{SF_MED}/events.parquet").collect()
+        nodes = set()
+        for e in ev:
+            s = e.user_id % 200
+            d = (
+                (s + 20) % 200
+                if e.event_id % 50 == 0
+                else (s // 20) * 20 + (e.user_id * 7 + e.event_id) % 20
+            )
+            if s != d:
+                nodes.update((s, d))
+        total = sum(r.n_nodes for r in rows)
+        assert total == len(nodes)
+        assert 2 <= len(rows) <= 60
+        # the dense planted blocks must dominate: at least 5 block-
+        # scale communities survive 2 rounds
+        assert sum(1 for r in rows if r.n_nodes >= 20) >= 5
+
+    def test_deterministic_across_runs(self, spark):
+        """Integer mode + min-label tie-break: re-running yields the
+        identical community table (no RNG, no float contract)."""
+        from edgar_crawler_spark.queries import QUERIES
+
+        a = sorted(
+            (r.community, r.n_nodes)
+            for r in QUERIES["lpa_communities"].fn(spark, SF_MED).collect()
+        )
+        b = sorted(
+            (r.community, r.n_nodes)
+            for r in QUERIES["lpa_communities"].fn(spark, SF_MED).collect()
+        )
+        assert a == b
+
+
 class TestPostingsDelta:
     def test_bits_match_python_reference(self, spark):
         """Recompute the gap bit cost in pure Python from the raw
