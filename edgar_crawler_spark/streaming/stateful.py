@@ -249,3 +249,126 @@ def run_frontier_topk_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming re-crawl change-rate estimator
+# ---------------------------------------------------------------------------
+
+RECRAWL_OUTPUT_SCHEMA = (
+    "url_id bigint, n_checks bigint, n_changes bigint, "
+    "sum_gap_sec bigint, lambda_day double, revisit_days double"
+)
+_RECRAWL_STATE_SCHEMA = (
+    "n bigint, x bigint, last_v bigint, last_sec bigint, sum_gap bigint"
+)
+
+
+def _recrawl_fold(
+    obs: list, st: tuple
+) -> tuple:
+    """Left-fold time-ordered (sec,) observations into the sufficient
+    statistics (n checks, x changes, last version, last sec, gap sum).
+    The content version is the UTC day (sec // 86400) — the same
+    deterministic fingerprint stand-in as the batch query. Pure and
+    associative-by-construction over an ordered stream: folding
+    micro-batches one at a time equals one global pass, which is what
+    makes the streaming twin emit the batch answer (pinned in
+    tests/test_consolidate_stateful.py)."""
+    n, x, last_v, last_sec, sum_gap = st
+    for sec in obs:
+        v = sec // 86400
+        if last_v is not None:
+            n += 1
+            sum_gap += sec - last_sec
+            if v != last_v:
+                x += 1
+        last_v, last_sec = v, sec
+    return n, x, last_v, last_sec, sum_gap
+
+
+def _recrawl_estimate(n: int, x: int, sum_gap: int):
+    """Cho & Garcia-Molina bias-corrected Poisson rate from the
+    sufficient statistics; (None, None) until a change is observed
+    (the batch query's NULL contract)."""
+    import math  # noqa: PLC0415 — worker-side import
+
+    if n <= 0 or x <= 0 or sum_gap <= 0:
+        return None, None
+    ibar = sum_gap / n / 86400.0
+    lam = -math.log((n - x + 0.5) / (n + 0.5)) / ibar
+    return round(lam, 6), round(ibar / -math.log((n - x + 0.5) / (n + 0.5)), 6)
+
+
+def _recrawl_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    st = state.get if state.exists else (0, 0, None, None, 0)
+    rows: list = []
+    for pdf in pdfs:
+        rows.extend(
+            zip(pdf["sec"].astype(int), pdf["event_id"].astype(int))
+        )
+    rows.sort()  # (sec, event_id) — the batch query's lag-window order
+    n, x, last_v, last_sec, sum_gap = _recrawl_fold(
+        [sec for sec, _ in rows], st
+    )
+    state.update((n, x, last_v, last_sec, sum_gap))
+    lam, revisit = _recrawl_estimate(n, x, sum_gap)
+    yield pd.DataFrame(
+        {
+            "url_id": pd.Series([key[0]], dtype="int64"),
+            "n_checks": pd.Series([n], dtype="int64"),
+            "n_changes": pd.Series([x], dtype="int64"),
+            "sum_gap_sec": pd.Series([sum_gap], dtype="int64"),
+            "lambda_day": pd.Series([lam], dtype="float64"),
+            "revisit_days": pd.Series([revisit], dtype="float64"),
+        }
+    )
+
+
+def streaming_recrawl_schedule(fetches: DataFrame) -> DataFrame:
+    """fetches: STREAMING DataFrame with (url_id, sec, event_id) —
+    the live fetch log. After every micro-batch a URL appears in, its
+    refreshed Cho & Garcia-Molina change-rate estimate is emitted —
+    the streaming twin of the batch `recrawl_schedule` query
+    (queries.py), letting the frontier adapt revisit intervals
+    WITHOUT a nightly batch pass.
+
+    Scale notes: per-URL state is FIVE integers regardless of fetch
+    history length (contrast the seen-set's linear state), keyed on
+    the high-cardinality url id so the state store spreads evenly;
+    state rides the streaming checkpoint, so a restarted scheduler
+    resumes every URL's statistics exactly. NoTimeout: change-rate
+    knowledge never expires."""
+    return fetches.groupBy("url_id").applyInPandasWithState(
+        _recrawl_fn,
+        outputStructType=RECRAWL_OUTPUT_SCHEMA,
+        stateStructType=_RECRAWL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_recrawl_stream(
+    spark: Any,
+    fetches_path: str,
+    out_path: str,
+    checkpoint: str,
+) -> Any:
+    """File-source fetch log -> stateful estimator -> parquet sink
+    (availableNow, one micro-batch per input file)."""
+    fetches = (
+        spark.readStream.schema("url_id bigint, sec bigint, event_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fetches_path)
+    )
+    est = streaming_recrawl_schedule(fetches)
+    return (
+        est.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -157,3 +157,75 @@ class TestStreamingFrontierTopK:
             .parquet(str(tmp_path / "nowhere"))
         )
         assert streaming_frontier_topk_tws(urls, k=3).isStreaming
+
+
+class TestStreamingRecrawl:
+    """Streaming change-rate estimator: fold-equals-batch law against
+    the oracled batch query, five-integer state per URL."""
+
+    def test_final_emission_matches_batch_query(self, spark, tmp_path):
+        import time as _time
+
+        from edgar_crawler_spark.queries import QUERIES
+        from edgar_crawler_spark.streaming.stateful import (
+            run_recrawl_stream,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        fetch_dir = str(tmp_path / "fetches")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        log = spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("user_id").alias("url_id"),
+            F.floor(F.unix_timestamp("ts")).cast("long").alias("sec"),
+            "event_id",
+        )
+        mid = log.agg(F.expr("percentile(sec, 0.5)")).collect()[0][0]
+        # two time-ordered deliveries; distinct mtimes pin batch order
+        log.filter(F.col("sec") <= mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(fetch_dir)
+        _time.sleep(2)
+        log.filter(F.col("sec") > mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(fetch_dir)
+
+        q = run_recrawl_stream(spark, fetch_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+
+        # last emission per url = full-history statistics
+        out = spark.read.parquet(out_dir).collect()
+        last: dict[int, tuple] = {}
+        for r in out:
+            cur = last.get(r.url_id)
+            if cur is None or r.n_checks > cur[0]:
+                last[r.url_id] = (
+                    r.n_checks, r.n_changes, r.lambda_day, r.revisit_days
+                )
+        batch = {
+            r.url_id: (r.n_checks, r.n_changes, r.lambda_day, r.revisit_days)
+            for r in QUERIES["recrawl_schedule"].fn(spark, sf).collect()
+        }
+        assert set(last) == set(batch)
+        for u, (n, x, lam, rev) in batch.items():
+            sn, sx, slam, srev = last[u]
+            assert (sn, sx) == (n, x), u  # integer stats: exact
+            if lam is None:
+                assert slam is None or slam != slam, u  # NULL/NaN
+            else:
+                # python libm vs JVM StrictMath may differ 1 ulp
+                assert abs(slam - lam) <= 2e-6, (u, slam, lam)
+                assert abs(srev - rev) <= 2e-6, (u, srev, rev)
+
+    def test_fold_is_incremental(self):
+        """Folding observations batch-by-batch equals one global
+        fold — the law that makes micro-batch slicing invisible."""
+        from edgar_crawler_spark.streaming.stateful import _recrawl_fold
+
+        obs = [0, 3600, 90000, 90060, 200000, 250000, 260000]
+        whole = _recrawl_fold(obs, (0, 0, None, None, 0))
+        for cut in range(len(obs) + 1):
+            st = _recrawl_fold(obs[:cut], (0, 0, None, None, 0))
+            st = _recrawl_fold(obs[cut:], st)
+            assert st == whole, cut
