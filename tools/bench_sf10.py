@@ -154,6 +154,10 @@ def main() -> None:
         "postings_delta",
         "recrawl_schedule",
         "url_trap_detect",
+        # redirect chains stay <=7 hops at ANY corpus size (the %8
+        # construction is position-local), so rounds are constant and
+        # the probe isolates the per-round join's data scaling
+        "redirect_resolve",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:
