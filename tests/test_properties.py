@@ -116,3 +116,52 @@ class TestTopKMergeProperties:
 
         incremental = _topk_merge(_topk_merge(list(a), k) + list(b), k)
         assert incremental == _topk_merge(list(a) + list(b), k)
+
+
+class TestRecrawlFoldLaws:
+    """Pure-kernel laws for the streaming re-crawl estimator
+    (streaming/stateful.py:_recrawl_fold)."""
+
+    @given(
+        obs=st.lists(
+            st.integers(min_value=0, max_value=10**9), min_size=0,
+            max_size=60,
+        ),
+        cuts=st.lists(
+            st.integers(min_value=0, max_value=60), min_size=0, max_size=4
+        ),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_any_micro_batch_slicing_equals_global_fold(self, obs, cuts):
+        from edgar_crawler_spark.streaming.stateful import _recrawl_fold
+
+        obs = sorted(obs)  # the operator sorts within batch; order is
+        # guaranteed ACROSS batches by the time-ordered source
+        whole = _recrawl_fold(obs, (0, 0, None, None, 0))
+        bounds = sorted({min(c, len(obs)) for c in cuts} | {0, len(obs)})
+        st_acc = (0, 0, None, None, 0)
+        for a, b in zip(bounds, bounds[1:]):
+            st_acc = _recrawl_fold(obs[a:b], st_acc)
+        assert st_acc == whole
+
+    @given(
+        obs=st.lists(
+            st.integers(min_value=0, max_value=10**9), min_size=2,
+            max_size=60, unique=True,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_statistics_invariants(self, obs):
+        from edgar_crawler_spark.streaming.stateful import _recrawl_fold
+
+        obs = sorted(obs)
+        n, x, last_v, last_sec, sum_gap = _recrawl_fold(
+            obs, (0, 0, None, None, 0)
+        )
+        assert n == len(obs) - 1
+        assert 0 <= x <= n
+        assert sum_gap == obs[-1] - obs[0]
+        assert last_sec == obs[-1] and last_v == obs[-1] // 86400
+        # change count equals the day-boundary crossings exactly
+        days = [s // 86400 for s in obs]
+        assert x == sum(1 for a, b in zip(days, days[1:]) if a != b)
