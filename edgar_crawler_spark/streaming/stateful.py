@@ -335,6 +335,13 @@ def streaming_recrawl_schedule(fetches: DataFrame) -> DataFrame:
     (queries.py), letting the frontier adapt revisit intervals
     WITHOUT a nightly batch pass.
 
+    Ordering precondition: per-URL delivery must be time-ordered
+    ACROSS micro-batches (each batch is sorted internally; the fold
+    trusts last_sec <= every incoming sec). A file-source crawl log
+    appended in fetch order satisfies this; with an out-of-order
+    transport, put an event-time watermark + sort in front, exactly
+    as the batch query's lag window orders by (sec, event_id).
+
     Scale notes: per-URL state is FIVE integers regardless of fetch
     history length (contrast the seen-set's linear state), keyed on
     the high-cardinality url id so the state store spreads evenly;
