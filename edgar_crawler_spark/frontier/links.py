@@ -37,8 +37,11 @@ from .canon import canonicalize_url
 
 # group 1 = the quoted href value. RE2-safe: no lookaround, non-greedy
 # attribute skip; unquoted hrefs are out of envelope (identically on
-# both engines).
-HREF_RE = "(?i)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"
+# both engines). `(?:[^>]*?\s)?` forces any skipped attributes to END
+# at whitespace, so attribute names merely ENDING in "href"
+# (data-href, xlink:href) can never match — without it the real href
+# on the same tag was dropped in favor of the data-href value.
+HREF_RE = "(?i)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*[\"']([^\"']*)[\"']"
 
 # schemes a frontier never fetches
 _DROP_SCHEME_RE = "(?i)^(javascript|mailto|data|tel|about):"
@@ -63,7 +66,7 @@ def extract_hrefs(html: Column | str) -> Column:
 # nested markup inside <a> is out of envelope, identically on both
 # engines)
 ANCHOR_RE = (
-    "(?i)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>([^<]*)</a"
+    "(?i)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>([^<]*)</a"
 )
 
 
@@ -130,6 +133,22 @@ def _split_norm_concat(s: Column) -> Column:
     return F.concat(_normalize_path(path), rest)
 
 
+# scheme://authority or //authority — the prefix dot-segment removal
+# must never touch (RFC 3986 §5.2.4 operates on the PATH only; letting
+# a leading '..' pop the hostname rewrote https://h/../a to https://a)
+_AUTH_PREFIX_RE = r"^((?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*)"
+
+
+def _split_norm_concat_auth(s: Column) -> Column:
+    """Like _split_norm_concat for URLs that CARRY an authority:
+    split off scheme://host (or //host) first, normalize only what
+    follows, so '..' clamps at the path root instead of eating the
+    hostname."""
+    auth = F.regexp_extract(s, _AUTH_PREFIX_RE, 1)
+    rest = F.regexp_replace(s, _AUTH_PREFIX_RE, "")
+    return F.concat(auth, _split_norm_concat(rest))
+
+
 def resolve_link(base: Column | str, link: Column | str) -> Column:
     """Resolve one raw href against the page URL; NULL for links a
     frontier drops (empty, fragment-only, non-fetchable schemes)."""
@@ -149,8 +168,8 @@ def resolve_link(base: Column | str, link: Column | str) -> Column:
     return (
         F.when((l_ == "") | l_.startswith("#"), F.lit(None).cast("string"))
         .when(l_.rlike(_DROP_SCHEME_RE), F.lit(None).cast("string"))
-        .when(l_.rlike(_ABS_RE), _split_norm_concat(l_))
-        .when(l_.startswith("//"), F.concat(scheme, F.lit(":"), _split_norm_concat(l_)))
+        .when(l_.rlike(_ABS_RE), _split_norm_concat_auth(l_))
+        .when(l_.startswith("//"), F.concat(scheme, F.lit(":"), _split_norm_concat_auth(l_)))
         .when(l_.startswith("/"), F.concat(origin, _split_norm_concat(l_)))
         .when(l_.startswith("?"), F.concat(origin, base_path, l_))
         .otherwise(F.concat(origin, _split_norm_concat(F.concat(base_dir, l_))))
@@ -198,6 +217,12 @@ def _split_norm_concat_py(s: str) -> str:
     return _normalize_path_py(path) + s[len(path):]
 
 
+def _split_norm_concat_auth_py(s: str) -> str:
+    m = re.match(_AUTH_PREFIX_RE, s)
+    auth = m.group(1) if m else ""
+    return auth + _split_norm_concat_py(s[len(auth):])
+
+
 def resolve_link_py(base: str, link: str) -> str | None:
     """Mirror of resolve_link (same regex passes, same envelope)."""
     l_ = link.strip()
@@ -206,7 +231,7 @@ def resolve_link_py(base: str, link: str) -> str | None:
     if re.match(_DROP_SCHEME_RE, l_):
         return None
     if re.match(_ABS_RE, l_):
-        return _split_norm_concat_py(l_)
+        return _split_norm_concat_auth_py(l_)
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", base)
     scheme = m.group(1) if m else ""
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", base)
@@ -215,7 +240,7 @@ def resolve_link_py(base: str, link: str) -> str | None:
     base_path = (m.group(1) if m else "") or "/"
     base_dir = re.sub(r"[^/]*$", "", base_path)
     if l_.startswith("//"):
-        return scheme + ":" + _split_norm_concat_py(l_)
+        return scheme + ":" + _split_norm_concat_auth_py(l_)
     if l_.startswith("/"):
         return origin + _split_norm_concat_py(l_)
     if l_.startswith("?"):

@@ -3862,6 +3862,36 @@ def _pr_edges_sql() -> str:
       WHERE user_id % {_PR_MOD} <> (user_id * 7 + event_id) % {_PR_MOD}"""
 
 
+def _event_edges(
+    spark: SparkSession, sf_dir: str, mod: int = _PR_MOD,
+    cache: bool = True,
+) -> DataFrame:
+    """The event-derived directed edge set every graph query shares —
+    the Spark twin of _pr_edges_sql(): distinct (src, dst), self-loops
+    dropped, tracked-cached because every consumer reads it at least
+    twice (contrib join + outdeg / flip join / nodes derivation)."""
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % mod).alias("src"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % mod).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return tracked_cache(edges) if cache else edges
+
+
+def _event_nodes(edges: DataFrame) -> DataFrame:
+    """Distinct node table of an edge set (not cached — callers cache
+    after adding their own columns where needed)."""
+    return (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
 def _oracle_pagerank_sql(iters: int = _PR_ITERS) -> str:
     """Unrolled-iteration DuckDB PageRank mirror: same damping,
     dangling-mass redistribution, and 10-dp per-iteration rounding."""
@@ -3944,21 +3974,8 @@ def pagerank_ranks(
     evaluated exactly once and the final plan depth is one round,
     independent of ``iters`` (pinned by tests/test_round4_ops.py).
     """
-    ev = _t(spark, sf_dir, "events")
-    src = (F.col("user_id") % mod).alias("src")
-    dst = ((F.col("user_id") * 7 + F.col("event_id")) % mod).alias("dst")
-    edges = (
-        ev.select(src, dst)
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    edges = tracked_cache(edges)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    nodes = tracked_cache(nodes)
+    edges = _event_edges(spark, sf_dir, mod)
+    nodes = tracked_cache(_event_nodes(edges))
     n = float(nodes.count())  # one scalar to the driver
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("deg")
@@ -4116,23 +4133,8 @@ _BFS_DEPTH = 4
         "node enters visited exactly once.",
 )
 def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    edges = (
-        ev.select(
-            (F.col("user_id") % _PR_MOD).alias("src"),
-            ((F.col("user_id") * 7 + F.col("event_id")) % _PR_MOD).alias(
-                "dst"
-            ),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    edges = tracked_cache(edges)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    edges = _event_edges(spark, sf_dir)
+    nodes = _event_nodes(edges)
     seeds = nodes.filter(F.col("node") % 17 == 0)
     visited = seeds.withColumn("depth", F.lit(0)).localCheckpoint(
         eager=False
@@ -4885,29 +4887,18 @@ def hits_frames(
     Each half-step is one edges-to-scores equi-join + one sum
     aggregate keyed on the high-cardinality node id; each L1 norm is
     a 1-row aggregate broadcast back via crossJoin — nothing
-    driver-side scales with the graph. Both half-step results end in
-    a lazy localCheckpoint: `hubs` feeds two consumers (the auth
-    update and the final output) and `scores` re-enters the next
-    round, the same per-round lineage cut as pagerank_ranks /
+    driver-side scales with the graph. Each half-step's
+    PRE-normalization frame ends in a lazy localCheckpoint: the norm
+    broadcast and the division (and, downstream, the next half-step
+    and the final output) all read the checkpointed RDD, so the
+    expensive join+agg runs exactly once per half-step — the same
+    per-round lineage-cut discipline as pagerank_ranks /
     operators/bpe.py (plan depth pinned flat by
     tests/test_round4c_ops.py). Returns (node, auth, hub) at full
     10-dp precision.
     """
-    ev = _t(spark, sf_dir, "events")
-    src = (F.col("user_id") % mod).alias("src")
-    dst = ((F.col("user_id") * 7 + F.col("event_id")) % mod).alias("dst")
-    edges = (
-        ev.select(src, dst)
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    edges = tracked_cache(edges)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    nodes = tracked_cache(nodes)
+    edges = _event_edges(spark, sf_dir, mod)
+    nodes = tracked_cache(_event_nodes(edges))
     scores = nodes.select("node", F.lit(1.0).alias("auth"))
     hubs = None
     for _ in range(iters):
@@ -4916,34 +4907,33 @@ def hits_frames(
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth").alias("h"))
         )
-        hubs = nodes.join(h_raw, "node", "left").select(
-            "node", F.coalesce("h", F.lit(0.0)).alias("h")
-        )
-        hsum = hubs.agg(F.sum("h").alias("hs"))
-        hubs = (
-            hubs.crossJoin(F.broadcast(hsum))  # 1-row L1 norm
-            .select(
-                "node",
-                F.round(F.col("h") / F.col("hs"), 10).alias("hub"),
-            )
+        # the lineage cut goes on the PRE-normalization frame: both
+        # the 1-row L1-sum broadcast and the division read it, so
+        # without the cut the half-step's join+agg would execute
+        # twice (the broadcast subtree is not reusable by the
+        # streamed side)
+        hubs_raw = (
+            nodes.join(h_raw, "node", "left")
+            .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
             .localCheckpoint(eager=False)
+        )
+        hsum = hubs_raw.agg(F.sum("h").alias("hs"))
+        hubs = hubs_raw.crossJoin(F.broadcast(hsum)).select(
+            "node", F.round(F.col("h") / F.col("hs"), 10).alias("hub")
         )
         a_raw = (
             edges.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("a"))
         )
-        auths = nodes.join(a_raw, "node", "left").select(
-            "node", F.coalesce("a", F.lit(0.0)).alias("a")
-        )
-        asum = auths.agg(F.sum("a").alias("asum"))
-        scores = (
-            auths.crossJoin(F.broadcast(asum))  # 1-row L1 norm
-            .select(
-                "node",
-                F.round(F.col("a") / F.col("asum"), 10).alias("auth"),
-            )
+        auths_raw = (
+            nodes.join(a_raw, "node", "left")
+            .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
             .localCheckpoint(eager=False)
+        )
+        asum = auths_raw.agg(F.sum("a").alias("asum"))
+        scores = auths_raw.crossJoin(F.broadcast(asum)).select(
+            "node", F.round(F.col("a") / F.col("asum"), 10).alias("auth")
         )
     return scores.join(hubs, "node")
 
@@ -5347,22 +5337,12 @@ def trustrank_ranks(
     dangling mass redistribute onto s instead of uniformly, where
     s(v) = 1/|S| for seeds and 0 elsewhere.
     """
-    ev = _t(spark, sf_dir, "events")
-    src = (F.col("user_id") % mod).alias("src")
-    dst = ((F.col("user_id") * 7 + F.col("event_id")) % mod).alias("dst")
-    edges = (
-        ev.select(src, dst)
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+    edges = _event_edges(spark, sf_dir, mod)
+    nodes = tracked_cache(
+        _event_nodes(edges).withColumn(
+            "is_seed", F.col("node") % _TR_SEED_MOD == 0
+        )
     )
-    edges = tracked_cache(edges)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .withColumn("is_seed", F.col("node") % _TR_SEED_MOD == 0)
-    )
-    nodes = tracked_cache(nodes)
     ns = float(nodes.filter("is_seed").count())  # one scalar
     sv = F.when(F.col("is_seed"), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
     outdeg = edges.groupBy("src").agg(
@@ -5505,14 +5485,8 @@ def q_trustrank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_link_reciprocity(
     spark: SparkSession, sf_dir: str, mod: int = _PR_MOD
 ) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    src = (F.col("user_id") % mod).alias("src")
-    dst = ((F.col("user_id") * 7 + F.col("event_id")) % mod).alias("dst")
-    edges = (
-        ev.select(src, dst)
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    # cached: both sides of the self-join read the same edge set
+    edges = _event_edges(spark, sf_dir, mod)
     flipped = edges.select(
         F.col("dst").alias("src"),
         F.col("src").alias("dst"),

@@ -11,6 +11,7 @@ Three independent anchors:
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urljoin
 
 from hypothesis import given, settings
@@ -239,3 +240,86 @@ class TestSparkPipeline:
             "SELECT regexp_extract_all(?, ?, 1)", [html, HREF_RE]
         ).fetchone()[0]
         assert out == ["x", "y"]
+
+
+def _rfc_remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 reference algorithm, implemented independently
+    of the operator's regex passes (the test oracle for
+    authority-carrying references, where CPython's urljoin skips
+    normalization but browsers/WHATWG and this resolver apply it)."""
+    out: list[str] = []
+    buf = path
+    while buf:
+        if buf.startswith("../"):
+            buf = buf[3:]
+        elif buf.startswith("./"):
+            buf = buf[2:]
+        elif buf.startswith("/./"):
+            buf = "/" + buf[3:]
+        elif buf == "/.":
+            buf = "/"
+        elif buf.startswith("/../"):
+            buf = "/" + buf[4:]
+            if out:
+                out.pop()
+        elif buf == "/..":
+            buf = "/"
+            if out:
+                out.pop()
+        elif buf in (".", ".."):
+            buf = ""
+        else:
+            m = re.match(r"^/?[^/]*", buf)
+            seg = m.group(0)
+            out.append(seg)
+            buf = buf[len(seg):]
+    return "".join(out)
+
+
+class TestAuthorityDotSegments:
+    """Review finding (round 4): dot-segment removal used to run over
+    scheme://host, so 'https://h/../a' resolved to 'https://a' — a
+    wrong-host frontier URL. Pins: the authority is inviolable and
+    the path normalizes per RFC 3986 §5.2.4 (browser behavior; the
+    envelope note in test_matches_urljoin_in_envelope documents the
+    deliberate divergence from CPython urljoin here)."""
+
+    @given(_rel_path, _query, st.booleans())
+    @settings(max_examples=300, deadline=None)
+    def test_rfc_strict_path_host_inviolable(self, rel, q, protorel):
+        path = "/" + rel
+        url = ("//" if protorel else "https://") + "keep.example.org" + path + q
+        got = resolve_link_py(BASE, url)
+        want = "https://keep.example.org" + _rfc_remove_dot_segments(path) + q
+        assert got == want, (url, got, want)
+        assert got.split("//", 1)[1].split("/", 1)[0] == "keep.example.org"
+
+    def test_review_repros(self):
+        assert resolve_link_py(BASE, "https://abs.org/../a") == "https://abs.org/a"
+        assert (
+            resolve_link_py(BASE, "//h.example.net/../x")
+            == "https://h.example.net/x"
+        )
+        assert (
+            resolve_link_py(BASE, "http://example.com/../../a")
+            == "http://example.com/a"
+        )
+
+
+class TestHrefAttributeBoundary:
+    """Review finding (round 4): [^>]*? could stop inside an attribute
+    NAME, so data-href/xlink:href values were extracted as the link
+    and the tag's real href was dropped."""
+
+    def test_data_href_never_matches(self):
+        assert extract_hrefs_py('<a data-href="no" href="yes">t</a>') == ["yes"]
+        assert extract_hrefs_py('<a xlink:href="no" href="yes">t</a>') == ["yes"]
+        assert extract_hrefs_py('<a data-href="only">t</a>') == []
+        assert extract_hrefs_py('<a href="h1">a</a><a class="c" href="h2">b</a>') == [
+            "h1", "h2",
+        ]
+        from edgar_crawler_spark.frontier.links import extract_anchors_py
+
+        assert extract_anchors_py('<a data-href="no" href="yes">t</a>') == [
+            ("yes", "t")
+        ]
