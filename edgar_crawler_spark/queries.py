@@ -5714,6 +5714,420 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4d: connected components / WARC surface / crawl hygiene
+# ---------------------------------------------------------------------------
+
+_CC_MOD = 50000  # sparse node space: subcritical graph, many components
+
+# One edge per event between two hash-scattered endpoints (Knuth
+# multiplicative constants) — unlike the hub-shaped _pr_edges_sql
+# graph, this G(n, m) stays subcritical at test SFs, so the component
+# structure is actually non-trivial (thousands of small components),
+# and the recursive-CTE oracle stays O(sum comp^2) cheap.
+_CC_EDGES_SQL = f"""
+      SELECT DISTINCT (event_id * 2654435761) % {_CC_MOD} AS src,
+             (event_id * 2654435761 + user_id * 40503 + 7) % {_CC_MOD} AS dst
+      FROM events
+      WHERE (event_id * 2654435761) % {_CC_MOD}
+            <> (event_id * 2654435761 + user_id * 40503 + 7) % {_CC_MOD}"""
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    src = (F.col("event_id") * F.lit(2654435761)) % _CC_MOD
+    dst = (
+        F.col("event_id") * F.lit(2654435761)
+        + F.col("user_id") * F.lit(40503)
+        + F.lit(7)
+    ) % _CC_MOD
+    return (
+        ev.select(src.alias("u"), dst.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+@query(
+    "connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    e0 AS ({_CC_EDGES_SQL}),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node),
+    lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+    SELECT CAST(label AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MAX(node) AS BIGINT) AS max_node,
+           CAST(SUM(node) AS BIGINT) AS node_sum
+    FROM lab GROUP BY label
+    """,
+    doc="Connected components by alternating large-star/small-star "
+        "(Kiveris et al. SoCC 2014, operators/components.py) over a "
+        "sparse event-derived graph — the scalable dedup-cluster "
+        "primitive (reference semantics: the URL/accession identity "
+        "merges of rebuild_metadata.py:38-175 and the dedup_clusters "
+        "family, but O(log^2 n) rounds instead of O(diameter) "
+        "flooding). Each star step's groupBy and join share the key "
+        "u, so the exchange is reused (two shuffles per round); edge "
+        "sets localCheckpoint-ed per round (lineage discipline). The "
+        "oracle floods min labels through a recursive CTE — exact on "
+        "this forest-like graph where components stay small.",
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import alternating_cc
+
+    labels, _rounds = alternating_cc(_cc_edges(spark, sf_dir))
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("node").alias("max_node"),
+        F.sum("node").alias("node_sum"),
+    )
+
+
+@query(
+    "warc_parse_roundtrip",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             'https://host' || CAST(doc_id % 23 AS VARCHAR)
+               || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+               || '</title></head><body>' || text
+               || '</body></html>' AS payload
+      FROM documents)
+    SELECT url,
+           CAST(length(payload) AS BIGINT) AS content_length,
+           md5(payload) AS payload_md5
+    FROM p
+    """,
+    doc="WARC (ISO 28500) container round-trip — sources/warc.py: "
+        "build CC-style response records as a codegen string expr, "
+        "pack them into multi-record file blobs (16 deterministic "
+        "files, records ordered by doc_id inside each), then parse "
+        "the blobs back with the Content-Length-driven byte framer "
+        "(Arrow mapInPandas, zero shuffle in the parse). The oracle "
+        "computes url/length/md5 directly from documents, so a green "
+        "row certifies the full build→concat→parse cycle is "
+        "byte-exact — the fetched-page container semantics of "
+        "download_filings.py:747-808 re-expressed over the "
+        "input_hint page shape.",
+)
+def q_warc_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warc import parse_warc_blobs, warc_record_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    date = F.concat(
+        F.lit("2020-01-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z"),
+    )
+    payload = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>"),
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+    recs = docs.select(
+        (F.col("doc_id") % 16).alias("file_id"),
+        F.struct(F.col("doc_id"), warc_record_expr(url, date, payload).alias("rec")).alias("s"),
+    )
+    blobs = (
+        recs.groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["rec"]
+                ),
+                "",
+            ).alias("warc_str")
+        )
+        .select(F.encode("warc_str", "UTF-8").alias("warc"))
+    )
+    return parse_warc_blobs(blobs).select(
+        "url", "content_length", "payload_md5"
+    )
+
+
+@query(
+    "url_surt",
+    oracle="""
+    WITH u AS (
+      SELECT 'https://'
+             || CASE event_id % 3 WHEN 0 THEN 'www.'
+                  WHEN 1 THEN 'cdn.img.' ELSE '' END
+             || 'site' || CAST(user_id % 40 AS VARCHAR)
+             || CASE user_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                  WHEN 2 THEN '.co.uk' ELSE '.io' END
+             || '/p/' || CAST(event_id % 50 AS VARCHAR)
+             || CASE WHEN event_id % 2 = 0
+                  THEN '?q=' || CAST(event_id % 7 AS VARCHAR)
+                  ELSE '' END AS url
+      FROM events),
+    s AS (
+      SELECT url,
+             array_to_string(
+               list_reverse(
+                 string_split(
+                   regexp_extract(url, 'https?://([^/]+)', 1), '.')),
+               ',')
+             || ')'
+             || regexp_extract(url, 'https?://[^/]+(/.*)', 1) AS surt
+      FROM u)
+    SELECT surt, url, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY surt, url
+    """,
+    doc="SURT (Sort-friendly URI Reordering Transform) "
+        "canonicalization — the Common-Crawl/CDX index key: host "
+        "labels reversed comma-joined + ')' + path, so one domain's "
+        "URLs (all subdomains included) form ONE contiguous key "
+        "range. That contiguity is the scale lever: range-partition "
+        "the frontier/index on surt and per-domain scans, dedup, and "
+        "politeness grouping become partition-local instead of a "
+        "hash-scatter (frontier/canon.py does per-URL "
+        "canonicalization; this is its index-key complement). Pure "
+        "JVM regexp/split/reverse in the scan projection; one "
+        "aggregate on the (surt, url) key.",
+)
+def q_url_surt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sub = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("www."))
+        .when(F.col("event_id") % 3 == 1, F.lit("cdn.img."))
+        .otherwise(F.lit(""))
+    )
+    tld = (
+        F.when(F.col("user_id") % 4 == 0, F.lit(".com"))
+        .when(F.col("user_id") % 4 == 1, F.lit(".org"))
+        .when(F.col("user_id") % 4 == 2, F.lit(".co.uk"))
+        .otherwise(F.lit(".io"))
+    )
+    qs = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit("?q="), (F.col("event_id") % 7).cast("string")),
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), sub,
+        F.lit("site"), (F.col("user_id") % 40).cast("string"), tld,
+        F.lit("/p/"), (F.col("event_id") % 50).cast("string"), qs,
+    )
+    host = F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1)
+    path = F.regexp_extract(F.col("url"), r"https?://[^/]+(/.*)", 1)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"), path,
+    )
+    return (
+        ev.select(url.alias("url"))
+        .select("url", surt.alias("surt"))
+        .groupBy("surt", "url")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_GAP_BUDGET_S = 60  # required min inter-fetch gap per host
+
+
+@query(
+    "host_gap_compliance",
+    oracle=f"""
+    WITH f AS (
+      SELECT 'host' || CAST(user_id % 23 AS VARCHAR) AS host,
+             epoch_us(ts) AS t, event_id
+      FROM events WHERE event_type IN ('view', 'click')),
+    g AS (
+      SELECT host, t, event_id,
+             t - LAG(t) OVER (PARTITION BY host
+                              ORDER BY t, event_id) AS gap_us
+      FROM f)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(SUM(CASE WHEN gap_us < {_GAP_BUDGET_S} * 1000000
+                         THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+    FROM g GROUP BY host
+    """,
+    doc="Per-host politeness-budget audit over the fetch log — the "
+        "offline compliance complement to the online token bucket "
+        "(frontier/politeness.py; reference throttle: "
+        "download_filings.py:464-744 honoring SEC 10-req/s): LAG "
+        "inter-fetch gaps per host (deterministic (ts, event_id) "
+        "order), then per-host min/avg gap + count of sub-budget "
+        "violations. One window + one aggregate on the same host "
+        "key — the window's hash partitioning is exactly the "
+        "aggregate's, so the agg is exchange-free above it; host "
+        "cardinality is bounded (politeness state is per-host, "
+        "never per-URL).",
+)
+def q_host_gap_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    f = ev.select(
+        F.concat(F.lit("host"), (F.col("user_id") % 23).cast("string")).alias("host"),
+        # ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast is
+        # wall-clock-identity and epoch micros match DuckDB epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+    )
+    w = W.partitionBy("host").orderBy("t", "event_id")
+    g = f.withColumn("gap_us", F.col("t") - F.lag("t").over(w))
+    return g.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.sum(
+            F.when(F.col("gap_us") < _GAP_BUDGET_S * 1_000_000, 1).otherwise(0)
+        ).alias("n_violations"),
+    )
+
+
+_SOFT404_RX = "(404 not found|page not found|no longer available|access denied)"
+_SOFT404_SHORT = 120  # chars: error stubs are short
+
+
+@query(
+    "soft404_detect",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 13 = 0 THEN
+                 'HTTP 404 Not Found - the page '
+                 || substr(text, 1, 20) || ' was not found'
+               WHEN doc_id % 17 = 0 THEN
+                 'This page is no longer available. '
+                 || substr(text, 1, 30)
+               ELSE text
+             END AS page
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             regexp_extract(lower(page), '{_SOFT404_RX}', 1) AS signal,
+             CAST(length(page) AS BIGINT) AS n_chars,
+             length(page) < {_SOFT404_SHORT} AS is_short
+      FROM p)
+    SELECT doc_id, signal, n_chars, is_short
+    FROM d WHERE signal <> '' OR is_short
+    """,
+    doc="Soft-404 detection — pages that return HTTP 200 but carry an "
+        "error template (the crawl-hygiene gate that keeps dead "
+        "pages out of the corpus and marks the URL for frontier "
+        "retirement; complements url_trap_detect on the URL side). "
+        "Synthetic error templates are injected deterministically "
+        "(doc_id % 13 / % 17) and BOTH engines construct-then-"
+        "detect, so the green row certifies the detector, not the "
+        "fixture. Pure scan projection: one JVM regexp + length "
+        "check, zero Exchange (the gopher_quality_filter plan "
+        "shape) — at 10^10 pages this is a map-only pass.",
+)
+def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    page = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit("HTTP 404 Not Found - the page "),
+                F.substring("text", 1, 20),
+                F.lit(" was not found"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.lit("This page is no longer available. "),
+                F.substring("text", 1, 30),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    d = docs.select(
+        "doc_id",
+        F.regexp_extract(F.lower(page), _SOFT404_RX, 1).alias("signal"),
+        F.length(page).cast("long").alias("n_chars"),
+        (F.length(page) < _SOFT404_SHORT).alias("is_short"),
+    )
+    return d.filter((F.col("signal") != "") | F.col("is_short"))
+
+
+_DRIFT_BIG = 4  # hamming bits: 'the page materially changed'
+
+
+@query(
+    "content_drift_simhash",
+    oracle=f"""
+    WITH sh AS (SELECT * FROM ({D.oracle_simhash16_sql(max_tokens=4096)}) q),
+    snap AS (
+      SELECT doc_id % 97 AS url_id, doc_id, simhash FROM sh),
+    lagged AS (
+      SELECT url_id, doc_id, simhash,
+             LAG(simhash) OVER (PARTITION BY url_id
+                                ORDER BY doc_id) AS prev
+      FROM snap),
+    h AS (
+      SELECT url_id,
+             CASE WHEN prev IS NULL THEN NULL
+                  ELSE bit_count(xor(simhash, prev)) END AS ham
+      FROM lagged)
+    SELECT CAST(url_id AS BIGINT) AS url_id,
+           CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+           CAST(SUM(CASE WHEN ham IS NULL THEN 0 ELSE ham END)
+                AS BIGINT) AS drift_total,
+           CAST(MAX(ham) AS BIGINT) AS drift_max,
+           CAST(SUM(CASE WHEN ham >= {_DRIFT_BIG} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big_changes
+    FROM h GROUP BY url_id
+    """,
+    doc="Content drift between successive fetches of the same URL, "
+        "measured as SimHash Hamming distance (Charikar 2002; "
+        "operators/dedup.py:simhash16's exact cross-engine md5-"
+        "nibble vote contract) — the graded change signal that "
+        "feeds recrawl_schedule: warc_revisit_resolve's digest "
+        "equality says WHETHER a page changed, the Hamming distance "
+        "says HOW MUCH (boilerplate jitter vs real edits). Shape: "
+        "simhash is one explode + hash-agg per snapshot (16-bit "
+        "LONG — page text never reaches the window), then LAG over "
+        "url + bit_count(xor) + per-url aggregate; window and agg "
+        "share the url key, so one exchange serves both.",
+)
+def q_content_drift_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.simhash16(_t(spark, sf_dir, "documents"), max_tokens=4096)
+    snap = sh.select(
+        (F.col("doc_id") % 97).alias("url_id"), "doc_id", "simhash"
+    )
+    w = W.partitionBy("url_id").orderBy("doc_id")
+    lagged = snap.withColumn("prev", F.lag("simhash").over(w))
+    ham = F.when(
+        F.col("prev").isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.bit_count(F.col("simhash").bitwiseXOR(F.col("prev"))).cast("long")
+    )
+    h = lagged.select("url_id", ham.alias("ham"))
+    return h.groupBy("url_id").agg(
+        F.count(F.lit(1)).alias("n_snapshots"),
+        F.sum(F.coalesce("ham", F.lit(0))).alias("drift_total"),
+        F.max("ham").alias("drift_max"),
+        F.sum(
+            F.when(F.col("ham") >= _DRIFT_BIG, 1).otherwise(0)
+        ).alias("n_big_changes"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 
@@ -5752,19 +6166,26 @@ _DRIVER_WINDOW_FIRST = [
     "url_trap_detect", "boilerplate_ngrams", "postings_delta",
     "trustrank_topk", "link_reciprocity", "redirect_resolve",
     "lpa_communities",
+    # 1b. never driver-certified: round-4d additions (connected
+    #     components, WARC surface, crawl hygiene)
+    "connected_components", "warc_parse_roundtrip", "url_surt",
+    "host_gap_compliance", "soft404_detect", "content_drift_simhash",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
-    # 3. veterans: newest driver row is r02 — recertify in r04
+    # 3. veterans: newest driver row is r02 — recertify in r04.
+    #    (Six veterans evicted to make room for 1b keep their
+    #    r02-green rows AND dedicated property suites:
+    #    ann_ivf_topk, ann_cosine_topk, dedup_clusters,
+    #    repetition_ratio, langid_ngram, idf_doc_score —
+    #    test_dedup_similarity.py / test_analytics_properties.py —
+    #    plus the every-round check_oracles sweep.)
     "missing_years", "pricing_summary", "rollup_type_year",
     "recent_per_firm", "keep_last_dedup", "priority_topk",
     "wave_assignment", "sessionize", "union_dedup_merge",
     "seed_list_build", "dedup_exact", "quality_score",
     "lang_agreement", "fingerprint_prefix", "dedup_norm_exact",
     "minhash_lsh_pairs", "simhash_dedup", "jaccard_bigram_pairs",
-    "embedding_neardup", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_cosine_topk", "dedup_clusters",
-    "repetition_ratio", "langid_ngram",
-    "idf_doc_score",
+    "embedding_neardup", "ann_lsh_topk",
 ]
 
 

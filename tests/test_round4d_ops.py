@@ -1,0 +1,214 @@
+"""Round-4d operators: connected components (large-star/small-star),
+WARC round-trip parsing, SURT canonicalization, politeness-gap audit,
+soft-404 detection, content-drift simhash.
+
+Cross-engine value agreement is covered by the DuckDB oracles
+(tools/check_oracles.py); these pin what the oracle cannot see —
+convergence behavior, plan shape, and Python-reference parity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from edgar_crawler_spark.operators.components import alternating_cc
+from edgar_crawler_spark.queries import QUERIES, _cc_edges
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+class TestConnectedComponents:
+    def test_matches_python_union_find(self, spark):
+        edges_df = _cc_edges(spark, SF_SMALL)
+        edges = [(r.u, r.v) for r in edges_df.collect()]
+        want = _union_find(edges)
+        labels, rounds = alternating_cc(edges_df)
+        got = {r.node: r.label for r in labels.collect()}
+        assert got == want
+        assert rounds <= 8, rounds  # O(log^2 n) on this forest
+
+    def test_chain_converges_in_log_rounds(self, spark):
+        """A 64-link chain is the worst case for min-label flooding
+        (64 rounds); the alternating algorithm must collapse it in
+        O(log^2 n) — the claim that makes it the scale pick."""
+        chain = spark.range(64).select(
+            F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+        )
+        labels, rounds = alternating_cc(chain)
+        rows = labels.collect()
+        assert {r.label for r in rows} == {0}
+        assert len(rows) == 65
+        assert rounds <= 8, rounds
+
+    def test_label_is_component_min_and_deterministic(self, spark):
+        edges_df = _cc_edges(spark, SF_SMALL)
+        a, _ = alternating_cc(edges_df)
+        b, _ = alternating_cc(edges_df)
+        ra = sorted((r.node, r.label) for r in a.collect())
+        rb = sorted((r.node, r.label) for r in b.collect())
+        assert ra == rb
+        assert all(lbl <= n for n, lbl in ra)
+
+    def test_query_components_partition_nodes(self, spark):
+        out = QUERIES["connected_components"].fn(spark, SF_SMALL).collect()
+        edges_df = _cc_edges(spark, SF_SMALL)
+        n_nodes = (
+            edges_df.select(F.col("u").alias("n"))
+            .union(edges_df.select("v"))
+            .distinct()
+            .count()
+        )
+        assert sum(r.n_nodes for r in out) == n_nodes
+        assert all(r.component <= r.max_node for r in out)
+
+
+class TestWarcFraming:
+    """Byte-level WARC framing, independent of Spark."""
+
+    def _record(self, url, date, payload: bytes) -> bytes:
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}"
+            f"\r\nWARC-Date: {date}\r\nContent-Length: {len(payload)}"
+            "\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    def test_payload_with_embedded_blank_lines(self):
+        """Content-Length-driven slicing: a payload containing the
+        record separator bytes must NOT split the record."""
+        from edgar_crawler_spark.sources.warc import parse_warc_records
+
+        p1 = b"hello\r\n\r\nWARC/1.0\r\n\r\nworld"  # adversarial bytes
+        p2 = b"plain"
+        blob = self._record("http://a/1", "d1", p1) + self._record(
+            "http://a/2", "d2", p2
+        )
+        got = parse_warc_records(blob)
+        assert [(u, c) for u, _, c, _ in got] == [
+            ("http://a/1", len(p1)), ("http://a/2", len(p2)),
+        ]
+        import hashlib
+
+        assert got[0][3] == hashlib.md5(p1).hexdigest()
+
+    def test_truncated_and_bad_version_raise(self):
+        from edgar_crawler_spark.sources.warc import parse_warc_records
+
+        ok = self._record("http://a/1", "d", b"xyz")
+        with pytest.raises(ValueError, match="truncated"):
+            parse_warc_records(ok[:-6])  # cut into the payload
+        with pytest.raises(ValueError, match="version"):
+            parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
+
+    def test_roundtrip_query_covers_every_doc(self, spark):
+        out = QUERIES["warc_parse_roundtrip"].fn(spark, SF_SMALL)
+        rows = out.collect()
+        n_docs = (
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+        )
+        assert len(rows) == n_docs
+        assert len({r.url for r in rows}) == n_docs
+
+
+class TestUrlSurt:
+    def test_matches_python_reference(self, spark):
+        rows = QUERIES["url_surt"].fn(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            rest = r.url.split("://", 1)[1]
+            host, _, path = rest.partition("/")
+            want = ",".join(reversed(host.split("."))) + ")/" + path
+            assert r.surt == want, (r.url, r.surt, want)
+        # domain-contiguity: sorting by surt groups every subdomain of
+        # a site next to its parent domain
+        surts = sorted(r.surt for r in rows)
+        sites = [s.split(")", 1)[0] for s in surts]
+        # each reversed-host key's occurrences are contiguous
+        seen, prev = set(), None
+        for s in sites:
+            if s != prev:
+                assert s not in seen, f"non-contiguous surt block: {s}"
+                seen.add(s)
+            prev = s
+
+
+class TestHostGapCompliance:
+    def test_gap_algebra(self, spark):
+        rows = QUERIES["host_gap_compliance"].fn(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            assert r.n_gaps == r.n_fetches - 1
+            assert r.n_violations <= r.n_gaps
+            if r.n_gaps:
+                assert r.min_gap_us * r.n_gaps <= r.sum_gap_us
+
+
+class TestSoft404:
+    def test_flags_exactly_the_injected_templates(self, spark):
+        rows = QUERIES["soft404_detect"].fn(spark, SF_SMALL).collect()
+        by_id = {r.doc_id: r for r in rows}
+        docs = spark.read.parquet(
+            f"{SF_SMALL}/documents.parquet"
+        ).select("doc_id").collect()
+        for d in docs:
+            i = d.doc_id
+            if i % 13 == 0:
+                assert by_id[i].signal == "404 not found"
+            elif i % 17 == 0:
+                assert by_id[i].signal == "no longer available"
+            elif i in by_id:  # healthy page flagged → must be short
+                assert by_id[i].is_short and by_id[i].signal == ""
+
+
+class TestContentDrift:
+    def test_matches_python_fold_over_spark_simhashes(self, spark):
+        """Independent recomputation of the window+agg from the
+        operator's own simhash values."""
+        from edgar_crawler_spark.operators.dedup import simhash16
+
+        sh = {
+            r.doc_id: r.simhash
+            for r in simhash16(
+                spark.read.parquet(f"{SF_SMALL}/documents.parquet"),
+                max_tokens=4096,
+            ).collect()
+        }
+        groups: dict[int, list[int]] = {}
+        for doc_id in sorted(sh):
+            groups.setdefault(doc_id % 97, []).append(sh[doc_id])
+        want = {}
+        for url_id, hs in groups.items():
+            hams = [
+                bin(a ^ b).count("1") for a, b in zip(hs, hs[1:])
+            ]
+            want[url_id] = (
+                len(hs),
+                sum(hams),
+                max(hams) if hams else None,
+                sum(1 for h in hams if h >= 4),
+            )
+        got = {
+            r.url_id: (r.n_snapshots, r.drift_total, r.drift_max,
+                       r.n_big_changes)
+            for r in QUERIES["content_drift_simhash"]
+            .fn(spark, SF_SMALL).collect()
+        }
+        assert got == want

@@ -373,6 +373,40 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"Left keys \[2\]", r"HashAggregate"],
      [r"BroadcastNestedLoopJoin",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # round 4d. connected components: the alternating loop checkpoints
+    # every round, so the FINAL plan aggregates over materialized RDDs
+    # (label join + rollup), never the unrolled star-contraction tree
+    ("connected_components",
+     [r"Scan ExistingRDD", r"HashAggregate"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # WARC round-trip: record build is codegen concat; ONE exchange
+    # (the file grouping) feeds the blob assembly; the parser is the
+    # single Arrow python stage
+    ("warc_parse_roundtrip",
+     [r"MapInPandas", r"hashpartitioning\(file_id#\d+"],
+     [r"SortMergeJoin", r"BatchEvalPython"]),
+    # SURT keys: regexp/split/reverse in the scan projection, one
+    # two-phase agg on (surt, url), no join
+    ("url_surt",
+     [r"partial_count", r"regexp_extract"],
+     [r"Join", r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # politeness audit: ONE host-keyed exchange serves the lag window
+    # AND the final per-host aggregate
+    ("host_gap_compliance",
+     [r"Window", r"hashpartitioning\(host#\d+"],
+     [r"Join", r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # soft-404: pure scan projection — regex + length in codegen,
+    # zero Exchange, only (doc_id, text) read
+    ("soft404_detect",
+     [r"Scan parquet", r"ReadSchema: struct<doc_id:bigint,text:string>"],
+     [r"Exchange", r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # content drift: simhash collapses text to a LONG before any
+    # shuffle; lag window + aggregate share the url_id key; raw text
+    # never keys an exchange
+    ("content_drift_simhash",
+     [r"Window", r"hashpartitioning\(url_id#\d+"],
+     [r"hashpartitioning\([^)]*text#", r"SortMergeJoin",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
