@@ -79,6 +79,13 @@ HEADLINE = [
     "link_reciprocity",
     "redirect_resolve",
     "lpa_communities",
+    # round 4d: connected components, WARC surface, crawl hygiene
+    "connected_components",
+    "warc_parse_roundtrip",
+    "url_surt",
+    "host_gap_compliance",
+    "soft404_detect",
+    "content_drift_simhash",
 ]
 
 

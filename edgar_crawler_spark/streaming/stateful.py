@@ -379,3 +379,109 @@ def run_recrawl_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming content-drift: per-URL SimHash Hamming statistics
+# ---------------------------------------------------------------------------
+
+DRIFT_OUTPUT_SCHEMA = (
+    "url_id bigint, n_snapshots bigint, drift_total bigint, "
+    "drift_max bigint, n_big_changes bigint"
+)
+_DRIFT_STATE_SCHEMA = (
+    "n bigint, total bigint, mx bigint, big bigint, last_h bigint"
+)
+_DRIFT_BIG_BITS = 4  # must match queries._DRIFT_BIG
+
+
+def _drift_fold(hashes: list, st: tuple) -> tuple:
+    """Left-fold snapshot-ordered simhashes into (n snapshots, total
+    hamming drift, max hamming, big-change count, last simhash).
+    mx is None until a second snapshot arrives (the batch query's
+    NULL drift_max contract for single-snapshot URLs). Pure; folding
+    micro-batches one at a time equals one global pass (pinned in
+    tests/test_round4d_ops.py)."""
+    n, total, mx, big, last = st
+    for h in hashes:
+        if last is not None:
+            ham = bin(h ^ last).count("1")
+            total += ham
+            mx = ham if mx is None else max(mx, ham)
+            if ham >= _DRIFT_BIG_BITS:
+                big += 1
+        n += 1
+        last = h
+    return n, total, mx, big, last
+
+
+def _drift_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    st = state.get if state.exists else (0, 0, None, 0, None)
+    rows: list = []
+    for pdf in pdfs:
+        rows.extend(
+            zip(pdf["doc_id"].astype(int), pdf["simhash"].astype(int))
+        )
+    rows.sort()  # doc_id = snapshot order, the batch lag-window order
+    n, total, mx, big, last = _drift_fold([h for _, h in rows], st)
+    state.update((n, total, mx, big, last))
+    yield pd.DataFrame(
+        {
+            "url_id": pd.Series([key[0]], dtype="int64"),
+            "n_snapshots": pd.Series([n], dtype="int64"),
+            "drift_total": pd.Series([total], dtype="int64"),
+            "drift_max": pd.Series([mx], dtype="object"),
+            "n_big_changes": pd.Series([big], dtype="int64"),
+        }
+    )
+
+
+def streaming_content_drift(snapshots: DataFrame) -> DataFrame:
+    """snapshots: STREAMING DataFrame with (url_id, doc_id, simhash)
+    — each row one fetched snapshot, simhash computed at ingest (the
+    batch contract: operators/dedup.py:simhash16's md5-nibble vote).
+    After every micro-batch a URL appears in, its refreshed drift
+    statistics are emitted — the streaming twin of the batch
+    `content_drift_simhash` query, grading HOW MUCH each page changes
+    while the crawl is still running (feeds the re-crawl scheduler
+    alongside streaming_recrawl_schedule).
+
+    Same ordering precondition and scale shape as the recrawl
+    estimator: per-URL delivery time-ordered across micro-batches;
+    state is FIVE integers per URL regardless of snapshot count,
+    keyed on the high-cardinality url id; NoTimeout (drift knowledge
+    never expires); checkpoint-resumable."""
+    return snapshots.groupBy("url_id").applyInPandasWithState(
+        _drift_fn,
+        outputStructType=DRIFT_OUTPUT_SCHEMA,
+        stateStructType=_DRIFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_content_drift_stream(
+    spark: Any,
+    snapshots_path: str,
+    out_path: str,
+    checkpoint: str,
+) -> Any:
+    """File-source snapshot log -> stateful drift -> parquet sink."""
+    snaps = (
+        spark.readStream.schema(
+            "url_id bigint, doc_id bigint, simhash bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(snapshots_path)
+    )
+    drift = streaming_content_drift(snaps)
+    return (
+        drift.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
