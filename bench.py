@@ -86,6 +86,7 @@ HEADLINE = [
     "host_gap_compliance",
     "soft404_detect",
     "content_drift_simhash",
+    "chunk_dedup_rewrite",
 ]
 
 

@@ -5732,18 +5732,36 @@ _CC_EDGES_SQL = f"""
             <> (event_id * 2654435761 + user_id * 40503 + 7) % {_CC_MOD}"""
 
 
-def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cc_edges(
+    spark: SparkSession, sf_dir: str, mod: int = _CC_MOD
+) -> DataFrame:
+    """`mod` is the node-space lever: scale probes grow it with the
+    event count so average degree (and hence component structure)
+    stays comparable across data sizes (the rank-builder mod= rule)."""
     ev = _t(spark, sf_dir, "events")
-    src = (F.col("event_id") * F.lit(2654435761)) % _CC_MOD
+    src = (F.col("event_id") * F.lit(2654435761)) % mod
     dst = (
         F.col("event_id") * F.lit(2654435761)
         + F.col("user_id") * F.lit(40503)
         + F.lit(7)
-    ) % _CC_MOD
+    ) % mod
     return (
         ev.select(src.alias("u"), dst.alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+    )
+
+
+def cc_component_summary(
+    spark: SparkSession, sf_dir: str, mod: int = _CC_MOD
+) -> DataFrame:
+    from .operators.components import alternating_cc
+
+    labels, _rounds = alternating_cc(_cc_edges(spark, sf_dir, mod))
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("node").alias("max_node"),
+        F.sum("node").alias("node_sum"),
     )
 
 
@@ -5778,14 +5796,7 @@ def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "this forest-like graph where components stay small.",
 )
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.components import alternating_cc
-
-    labels, _rounds = alternating_cc(_cc_edges(spark, sf_dir))
-    return labels.groupBy(F.col("label").alias("component")).agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.max("node").alias("max_node"),
-        F.sum("node").alias("node_sum"),
-    )
+    return cc_component_summary(spark, sf_dir)
 
 
 @query(
@@ -6127,6 +6138,96 @@ def q_content_drift_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_N = 10  # tokens per non-overlapping chunk ("paragraph" unit)
+
+
+@query(
+    "chunk_dedup_rewrite",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    ch AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(
+               w[(i * {_CHUNK_N} + 1):(i * {_CHUNK_N} + {_CHUNK_N})],
+               ' ') AS chunk
+      FROM toks,
+           UNNEST(generate_series(
+             0, (len(w) + {_CHUNK_N - 1}) // {_CHUNK_N} - 1)) AS g(i)
+      WHERE len(w) > 0),
+    rk AS (
+      SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, pos) AS rn
+      FROM ch)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           md5(COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+                          FILTER (WHERE rn = 1), '')) AS cleaned_md5
+    FROM rk GROUP BY doc_id
+    """,
+    doc=f"First-occurrence-wins exact chunk dedup REWRITE — the "
+        f"transform behind 'Deduplicating Training Data Makes "
+        f"Language Models Better' (Lee et al. 2022) at paragraph "
+        f"granularity: the corpus is cut into non-overlapping "
+        f"{_CHUNK_N}-token chunks, every repeat of a chunk already "
+        f"seen earlier in (doc_id, pos) order is dropped, and each "
+        f"document is reassembled from its surviving chunks "
+        f"(dup_span_profile measures duplication; this REMOVES it "
+        f"and certifies the rebuilt text by md5). Shape: one window "
+        f"on the high-cardinality chunk hash (global first-"
+        f"occurrence), one per-doc reassembly agg — two shuffles, "
+        f"both ~ corpus size, inherent to a corpus rewrite. "
+        f"Deterministic rebuild via array_sort(struct(pos, chunk)).",
+)
+def q_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.spread(docs).select("doc_id", D.tokens_col("text").alias("w"))
+    n_chunks = F.floor(
+        (F.size("w") + _CHUNK_N - 1) / F.lit(_CHUNK_N)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.array_join(
+            F.slice("w", c * _CHUNK_N + 1, _CHUNK_N), " "
+        ),
+    )
+    # NULL-for-empty + explode_outer + isNotNull: the anti-double-
+    # compute idiom (PLANS.md) — and F.sequence(0, -1) would yield a
+    # DESCENDING [0,-1], not an empty array
+    ch = (
+        toks.select(
+            "doc_id",
+            F.posexplode_outer(F.when(F.size("w") > 0, chunks)),
+        )
+        .withColumnsRenamed({"pos": "pos", "col": "chunk"})
+        .filter(F.col("chunk").isNotNull())
+    )
+    w = W.partitionBy(F.md5("chunk")).orderBy("doc_id", "pos")
+    rk = ch.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("pos", "chunk")
+    )
+    return rk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -6170,13 +6271,14 @@ _DRIVER_WINDOW_FIRST = [
     #     components, WARC surface, crawl hygiene)
     "connected_components", "warc_parse_roundtrip", "url_surt",
     "host_gap_compliance", "soft404_detect", "content_drift_simhash",
+    "chunk_dedup_rewrite",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
-    #    (Six veterans evicted to make room for 1b keep their
+    #    (Seven veterans evicted to make room for 1b keep their
     #    r02-green rows AND dedicated property suites:
     #    ann_ivf_topk, ann_cosine_topk, dedup_clusters,
-    #    repetition_ratio, langid_ngram, idf_doc_score —
+    #    repetition_ratio, langid_ngram, idf_doc_score, ann_lsh_topk —
     #    test_dedup_similarity.py / test_analytics_properties.py —
     #    plus the every-round check_oracles sweep.)
     "missing_years", "pricing_summary", "rollup_type_year",
@@ -6185,7 +6287,7 @@ _DRIVER_WINDOW_FIRST = [
     "seed_list_build", "dedup_exact", "quality_score",
     "lang_agreement", "fingerprint_prefix", "dedup_norm_exact",
     "minhash_lsh_pairs", "simhash_dedup", "jaccard_bigram_pairs",
-    "embedding_neardup", "ann_lsh_topk",
+    "embedding_neardup",
 ]
 
 

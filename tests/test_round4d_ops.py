@@ -295,3 +295,53 @@ class TestStreamingContentDrift:
             assert st == whole
 
         law()
+
+
+class TestChunkDedupRewrite:
+    def test_matches_python_rewrite(self, spark):
+        """Full python mirror of the first-occurrence-wins rewrite,
+        including the rebuilt-text md5."""
+        import hashlib
+        import re as _re
+
+        docs = {
+            r.doc_id: r.text
+            for r in spark.read.parquet(
+                f"{SF_SMALL}/documents.parquet"
+            ).collect()
+        }
+        N = 10
+        chunks = []  # (doc_id, pos, chunk)
+        for doc_id in sorted(docs):
+            w = [t for t in _re.split(r"\s+", docs[doc_id].lower()) if t]
+            for pos in range(0, (len(w) + N - 1) // N):
+                chunks.append(
+                    (doc_id, pos, " ".join(w[pos * N : pos * N + N]))
+                )
+        seen: set[str] = set()
+        keep: dict[tuple, bool] = {}
+        for doc_id, pos, c in chunks:  # already (doc_id, pos) ordered
+            if c in seen:
+                keep[(doc_id, pos)] = False
+            else:
+                seen.add(c)
+                keep[(doc_id, pos)] = True
+        want = {}
+        for doc_id in sorted(docs):
+            mine = [
+                (pos, c) for d, pos, c in chunks if d == doc_id
+            ]
+            kept = [c for pos, c in mine if keep[(doc_id, pos)]]
+            want[doc_id] = (
+                len(mine),
+                len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        got = {
+            r.doc_id: (r.n_chunks, r.n_kept, r.cleaned_md5)
+            for r in QUERIES["chunk_dedup_rewrite"]
+            .fn(spark, SF_SMALL).collect()
+        }
+        assert got == want
+        # the rewrite must actually remove something on this corpus
+        assert any(k < n for n, k, _ in want.values())

@@ -158,6 +158,18 @@ def main() -> None:
         # construction is position-local), so rounds are constant and
         # the probe isolates the per-round join's data scaling
         "redirect_resolve",
+        # round 4d. warc/surt/soft404: scan-or-map-side shapes over
+        # the 100x tables; host_gap/content_drift: bounded-key
+        # windows (23 hosts / 97 urls) whose per-key row count grows
+        # 100x — the probe shows the window work scaling, with
+        # parallelism capped by the toy fixture's key count (real
+        # crawls have millions of hosts/URLs, so the cap is a
+        # fixture artifact, not a plan property)
+        "warc_parse_roundtrip",
+        "url_surt",
+        "host_gap_compliance",
+        "soft404_detect",
+        "content_drift_simhash",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:
@@ -251,6 +263,33 @@ def main() -> None:
             "edges": "36.5k->3.99M (109x)",
         }
         print(f"{name + '@mod20000':28s} {t_small:7.2f}s -> "
+              f"{t_big:7.2f}s  x{t_big / t_small:6.2f}", file=sys.stderr)
+
+    # connected components: like the rank probes, the node-space mod
+    # grows with the event count (50k -> 5M) so average degree and
+    # component structure stay comparable; rounds stay O(log^2 n)
+    from edgar_crawler_spark.queries import (  # noqa: PLC0415
+        cc_component_summary,
+    )
+
+    if ("--policy-only" not in sys.argv) and (
+        not only or "connected_components" in only
+    ):
+        t0 = time.perf_counter()
+        force(cc_component_summary(spark, SRC, mod=50000))
+        t_small = time.perf_counter() - t0
+        release_caches()
+        t0 = time.perf_counter()
+        force(cc_component_summary(spark, DST, mod=5000000))
+        t_big = time.perf_counter() - t0
+        release_caches()
+        out["connected_components@mod5M"] = {
+            "sf0.1_sec": round(t_small, 3),
+            "x100_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+            "mod": "50k->5M",
+        }
+        print(f"{'connected_components@mod5M':28s} {t_small:7.2f}s -> "
               f"{t_big:7.2f}s  x{t_big / t_small:6.2f}", file=sys.stderr)
 
     print(json.dumps({"probe": "x100_plan_stability", "copies": COPIES,

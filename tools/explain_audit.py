@@ -407,6 +407,14 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"Window", r"hashpartitioning\(url_id#\d+"],
      [r"hashpartitioning\([^)]*text#", r"SortMergeJoin",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # chunk dedup rewrite: the first-occurrence window partitions on
+    # the md5 chunk hash (high cardinality — never a global sort);
+    # reassembly aggregates on doc_id; no join, no python
+    ("chunk_dedup_rewrite",
+     [r"\(\d+\) Window", r"md5\(cast\(col#\d+ as binary\)\) AS _w0",
+      r"hashpartitioning\(_w0#\d+", r"hashpartitioning\(doc_id#\d+L"],
+     [r"SinglePartition", r"Join",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
