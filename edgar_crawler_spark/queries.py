@@ -5817,15 +5817,17 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="WARC (ISO 28500) container round-trip — sources/warc.py: "
         "build CC-style response records as a codegen string expr, "
-        "pack them into multi-record file blobs (16 deterministic "
-        "files, records ordered by doc_id inside each), then parse "
-        "the blobs back with the Content-Length-driven byte framer "
-        "(Arrow mapInPandas, zero shuffle in the parse). The oracle "
-        "computes url/length/md5 directly from documents, so a green "
-        "row certifies the full build→concat→parse cycle is "
-        "byte-exact — the fetched-page container semantics of "
-        "download_filings.py:747-808 re-expressed over the "
-        "input_hint page shape.",
+        "pack them into multi-record file blobs (FIXED-SIZE files: "
+        "file_id = doc_id // 32, the real WARC layout — file count "
+        "grows with the corpus and per-blob memory stays bounded, "
+        "so parse parallelism scales instead of capping at a fixed "
+        "modulus), then parse the blobs back with the Content-"
+        "Length-driven byte framer (Arrow mapInPandas, zero shuffle "
+        "in the parse). The oracle computes url/length/md5 directly "
+        "from documents, so a green row certifies the full "
+        "build→concat→parse cycle is byte-exact — the fetched-page "
+        "container semantics of download_filings.py:747-808 "
+        "re-expressed over the input_hint page shape.",
 )
 def q_warc_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.warc import parse_warc_blobs, warc_record_expr
@@ -5850,7 +5852,7 @@ def q_warc_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</body></html>"),
     )
     recs = docs.select(
-        (F.col("doc_id") % 16).alias("file_id"),
+        (F.col("doc_id") / 32).cast("long").alias("file_id"),
         F.struct(F.col("doc_id"), warc_record_expr(url, date, payload).alias("rec")).alias("s"),
     )
     blobs = (

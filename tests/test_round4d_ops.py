@@ -345,3 +345,31 @@ class TestChunkDedupRewrite:
         assert got == want
         # the rewrite must actually remove something on this corpus
         assert any(k < n for n, k, _ in want.values())
+
+
+class TestCcEdgeCases:
+    def test_empty_edge_set(self, spark):
+        empty = spark.range(0).select(
+            F.col("id").alias("u"), F.col("id").alias("v")
+        )
+        labels, rounds = alternating_cc(empty)
+        assert labels.count() == 0
+        assert rounds == 1
+
+    def test_self_loops_only(self, spark):
+        loops = spark.range(5).select(
+            F.col("id").alias("u"), F.col("id").alias("v")
+        )
+        labels, _ = alternating_cc(loops)
+        # self-loops are dropped; no endpoints survive -> empty result
+        assert labels.count() == 0
+
+    def test_star_is_fixpoint(self, spark):
+        star = spark.createDataFrame(
+            [(i, 0) for i in range(1, 9)], "u long, v long"
+        )
+        labels, rounds = alternating_cc(star)
+        assert rounds == 1  # already a rooted star: first probe stable
+        assert {(r.node, r.label) for r in labels.collect()} == {
+            (i, 0) for i in range(9)
+        }

@@ -170,6 +170,9 @@ def main() -> None:
         "host_gap_compliance",
         "soft404_detect",
         "content_drift_simhash",
+        # chunk rewrite: salted tokens keep cross-copy chunk overlap
+        # at zero, so the dup structure (and output) grow linearly
+        "chunk_dedup_rewrite",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:
