@@ -87,6 +87,7 @@ HEADLINE = [
     "soft404_detect",
     "content_drift_simhash",
     "chunk_dedup_rewrite",
+    "robots_rules_parse",
 ]
 
 

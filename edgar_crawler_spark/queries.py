@@ -6230,6 +6230,136 @@ def q_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_N_HOSTS = 29
+
+
+@query(
+    "robots_rules_parse",
+    oracle=f"""
+    WITH hosts AS (
+      SELECT DISTINCT user_id % {_ROBOTS_N_HOSTS} AS h FROM events),
+    lines AS (
+      SELECT h, i AS line_no,
+        CASE i
+          WHEN 0 THEN 'User-agent: *'
+          WHEN 1 THEN 'Disallow: /admin/'
+          WHEN 2 THEN CASE WHEN h % 2 = 0 THEN 'Allow: /p/'
+                           ELSE 'Disallow: /tmp/' END
+          WHEN 3 THEN 'Crawl-delay: ' || CAST(h % 7 + 1 AS VARCHAR)
+          WHEN 4 THEN 'User-agent: bot' || CAST(h % 3 AS VARCHAR)
+          WHEN 5 THEN 'Disallow: /'
+          WHEN 6 THEN CASE WHEN h % 3 = 0 THEN 'Allow: /public/'
+                           ELSE '' END
+          ELSE 'Sitemap: https://site' || CAST(h AS VARCHAR)
+               || '.example/sitemap.xml'
+        END AS line
+      FROM hosts, UNNEST(generate_series(0, 7)) AS g(i)),
+    cls AS (
+      SELECT h, line_no,
+             lower(regexp_extract(line, '^([A-Za-z-]+):', 1)) AS directive,
+             trim(regexp_extract(line, '^[A-Za-z-]+:(.*)$', 1)) AS value
+      FROM lines WHERE line <> ''),
+    grp AS (
+      SELECT *,
+             SUM(CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY h ORDER BY line_no
+                     ROWS UNBOUNDED PRECEDING) AS g
+      FROM cls),
+    agents AS (
+      SELECT h, g, value AS agent FROM grp
+      WHERE directive = 'user-agent'),
+    rules AS (SELECT * FROM grp WHERE directive <> 'user-agent')
+    SELECT CAST(r.h AS BIGINT) AS host,
+           CASE WHEN r.directive = 'sitemap' THEN '' ELSE a.agent END
+             AS agent,
+           r.directive, r.value,
+           CAST(r.line_no AS BIGINT) AS line_no
+    FROM rules r JOIN agents a USING (h, g)
+    """,
+    doc="Corpus-scale robots.txt PARSING — the stateful line format "
+        "(every rule belongs to the most recent User-agent group "
+        "above it) expressed relationally: a running-count window "
+        "over (host, line_no) assigns each line its group ordinal, "
+        "the User-agent lines become a host-bounded group dimension "
+        "that joins back BROADCAST, and Sitemap lines are emitted "
+        "host-wide (agent='', per the de-facto spec). Complements "
+        "robots_prefix_match (rule EVALUATION) and the online "
+        "parser in frontier/politeness.py — this is the batch pass "
+        "that turns a fetched robots corpus (Common Crawl publishes "
+        "one) into the frontier's rules table. One window + one "
+        "broadcast join; blank lines dropped before the window.",
+)
+def q_robots_rules_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hosts = ev.select(
+        (F.col("user_id") % _ROBOTS_N_HOSTS).alias("h")
+    ).distinct()
+    h = F.col("h")
+    line = (
+        F.when(F.col("line_no") == 0, F.lit("User-agent: *"))
+        .when(F.col("line_no") == 1, F.lit("Disallow: /admin/"))
+        .when(
+            F.col("line_no") == 2,
+            F.when(h % 2 == 0, F.lit("Allow: /p/")).otherwise(
+                F.lit("Disallow: /tmp/")
+            ),
+        )
+        .when(
+            F.col("line_no") == 3,
+            F.concat(F.lit("Crawl-delay: "), (h % 7 + 1).cast("string")),
+        )
+        .when(
+            F.col("line_no") == 4,
+            F.concat(F.lit("User-agent: bot"), (h % 3).cast("string")),
+        )
+        .when(F.col("line_no") == 5, F.lit("Disallow: /"))
+        .when(
+            F.col("line_no") == 6,
+            F.when(h % 3 == 0, F.lit("Allow: /public/")).otherwise(
+                F.lit("")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Sitemap: https://site"), h.cast("string"),
+                F.lit(".example/sitemap.xml"),
+            )
+        )
+    )
+    lines = hosts.select(
+        "h", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("line_no")
+    ).select("h", "line_no", line.alias("line"))
+    cls = lines.filter(F.col("line") != "").select(
+        "h", "line_no",
+        F.lower(
+            F.regexp_extract("line", r"^([A-Za-z-]+):", 1)
+        ).alias("directive"),
+        F.trim(
+            F.regexp_extract("line", r"^[A-Za-z-]+:(.*)$", 1)
+        ).alias("value"),
+    )
+    w = W.partitionBy("h").orderBy("line_no").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    grp = cls.withColumn(
+        "g",
+        F.sum(
+            F.when(F.col("directive") == "user-agent", 1).otherwise(0)
+        ).over(w),
+    )
+    agents = grp.filter(F.col("directive") == "user-agent").select(
+        "h", "g", F.col("value").alias("agent")
+    )
+    rules = grp.filter(F.col("directive") != "user-agent")
+    return rules.join(F.broadcast(agents), ["h", "g"]).select(
+        F.col("h").alias("host"),
+        F.when(F.col("directive") == "sitemap", F.lit("")).otherwise(
+            F.col("agent")
+        ).alias("agent"),
+        "directive", "value", "line_no",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -6273,14 +6403,16 @@ _DRIVER_WINDOW_FIRST = [
     #     components, WARC surface, crawl hygiene)
     "connected_components", "warc_parse_roundtrip", "url_surt",
     "host_gap_compliance", "soft404_detect", "content_drift_simhash",
-    "chunk_dedup_rewrite",
+    "chunk_dedup_rewrite", "robots_rules_parse",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
-    #    (Seven veterans evicted to make room for 1b keep their
+    #    (Eight veterans evicted to make room for 1b keep their
     #    r02-green rows AND dedicated property suites:
     #    ann_ivf_topk, ann_cosine_topk, dedup_clusters,
-    #    repetition_ratio, langid_ngram, idf_doc_score, ann_lsh_topk —
+    #    repetition_ratio, langid_ngram, idf_doc_score, ann_lsh_topk,
+    #    embedding_neardup (re-measured every round by the bench_sf10
+    #    policy probe) —
     #    test_dedup_similarity.py / test_analytics_properties.py —
     #    plus the every-round check_oracles sweep.)
     "missing_years", "pricing_summary", "rollup_type_year",
@@ -6289,7 +6421,6 @@ _DRIVER_WINDOW_FIRST = [
     "seed_list_build", "dedup_exact", "quality_score",
     "lang_agreement", "fingerprint_prefix", "dedup_norm_exact",
     "minhash_lsh_pairs", "simhash_dedup", "jaccard_bigram_pairs",
-    "embedding_neardup",
 ]
 
 

@@ -373,3 +373,44 @@ class TestCcEdgeCases:
         assert {(r.node, r.label) for r in labels.collect()} == {
             (i, 0) for i in range(9)
         }
+
+
+class TestRobotsRulesParse:
+    def test_matches_python_line_parser(self, spark):
+        """Independent python implementation of the grouped-line
+        format over the same synthesized corpus."""
+        rows = QUERIES["robots_rules_parse"].fn(spark, SF_SMALL).collect()
+        hosts = {r.host for r in rows}
+        want = []
+        for h in hosts:
+            lines = [
+                "User-agent: *",
+                "Disallow: /admin/",
+                "Allow: /p/" if h % 2 == 0 else "Disallow: /tmp/",
+                f"Crawl-delay: {h % 7 + 1}",
+                f"User-agent: bot{h % 3}",
+                "Disallow: /",
+                "Allow: /public/" if h % 3 == 0 else "",
+                f"Sitemap: https://site{h}.example/sitemap.xml",
+            ]
+            agent = None
+            for i, ln in enumerate(lines):
+                if not ln:
+                    continue
+                d, _, v = ln.partition(":")
+                d, v = d.lower(), v.strip()
+                if d == "user-agent":
+                    agent = v
+                elif d == "sitemap":
+                    want.append((h, "", d, v, i))
+                else:
+                    want.append((h, agent, d, v, i))
+        got = [
+            (r.host, r.agent, r.directive, r.value, r.line_no)
+            for r in rows
+        ]
+        assert sorted(got) == sorted(want)
+        # every host yields both agent groups + a host-wide sitemap
+        for h in hosts:
+            agents = {a for hh, a, *_ in want if hh == h}
+            assert {"*", f"bot{h % 3}", ""} == agents

@@ -415,6 +415,12 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
       r"hashpartitioning\(_w0#\d+", r"hashpartitioning\(doc_id#\d+L"],
      [r"SinglePartition", r"Join",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # robots parsing: running-count window on the host key; the
+    # user-agent group dimension joins back BROADCAST; no python
+    ("robots_rules_parse",
+     [r"\(\d+\) Window", r"BroadcastHashJoin"],
+     [r"SortMergeJoin", r"SinglePartition",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
