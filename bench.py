@@ -88,6 +88,7 @@ HEADLINE = [
     "content_drift_simhash",
     "chunk_dedup_rewrite",
     "robots_rules_parse",
+    "stratified_weighted_sample",
 ]
 
 

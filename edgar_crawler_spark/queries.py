@@ -6360,6 +6360,68 @@ def q_robots_rules_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWS_K = 10
+
+
+@query(
+    "stratified_weighted_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,
+             (CAST(('0x' || substr(md5('sws|' || CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) + 1)
+               / CAST(2 ** 60 AS DOUBLE) AS u
+      FROM documents WHERE n_chars > 0),
+    keyed AS (
+      SELECT source, doc_id, CAST(w AS BIGINT) AS weight,
+             ROUND(ln(u) / w, 10) AS key
+      FROM u),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY key DESC, doc_id ASC) AS rn
+      FROM keyed)
+    SELECT source, doc_id, weight, key, CAST(rn AS BIGINT) AS rn
+    FROM rk WHERE rn <= {_SWS_K}
+    """,
+    doc=f"PER-STRATUM weighted sampling without replacement — the "
+        f"same derandomized Efraimidis-Spirakis key as "
+        f"weighted_sample_topk, but the top-{_SWS_K} is taken INSIDE "
+        f"each source stratum (rank window on source): the sampler "
+        f"that fills per-source quotas from mixture_weights without "
+        f"a second pass. Shape: key in the scan projection, one "
+        f"window on the stratum key — at production scale strata "
+        f"are (source × lang × domain)-grained, i.e. high-"
+        f"cardinality, so the window partitioning spreads; the "
+        f"sample stays stable under corpus growth (a surviving "
+        f"doc's key never changes — Cohen-Kaplan bottom-k).",
+)
+def q_stratified_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sws|"), F.col("doc_id").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + 1) / F.lit(float(1 << 60))
+    w = F.col("n_chars").cast("double")
+    keyed = docs.select(
+        "source", "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.round(F.log(u) / w, 10).alias("key"),
+    )
+    rank_w = W.partitionBy("source").orderBy(
+        F.desc("key"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rn") <= _SWS_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -6404,15 +6466,16 @@ _DRIVER_WINDOW_FIRST = [
     "connected_components", "warc_parse_roundtrip", "url_surt",
     "host_gap_compliance", "soft404_detect", "content_drift_simhash",
     "chunk_dedup_rewrite", "robots_rules_parse",
+    "stratified_weighted_sample",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
-    #    (Eight veterans evicted to make room for 1b keep their
+    #    (Nine veterans evicted to make room for 1b keep their
     #    r02-green rows AND dedicated property suites:
     #    ann_ivf_topk, ann_cosine_topk, dedup_clusters,
     #    repetition_ratio, langid_ngram, idf_doc_score, ann_lsh_topk,
     #    embedding_neardup (re-measured every round by the bench_sf10
-    #    policy probe) —
+    #    policy probe), jaccard_bigram_pairs (likewise probed) —
     #    test_dedup_similarity.py / test_analytics_properties.py —
     #    plus the every-round check_oracles sweep.)
     "missing_years", "pricing_summary", "rollup_type_year",
@@ -6420,7 +6483,7 @@ _DRIVER_WINDOW_FIRST = [
     "wave_assignment", "sessionize", "union_dedup_merge",
     "seed_list_build", "dedup_exact", "quality_score",
     "lang_agreement", "fingerprint_prefix", "dedup_norm_exact",
-    "minhash_lsh_pairs", "simhash_dedup", "jaccard_bigram_pairs",
+    "minhash_lsh_pairs", "simhash_dedup",
 ]
 
 

@@ -414,3 +414,43 @@ class TestRobotsRulesParse:
         for h in hosts:
             agents = {a for hh, a, *_ in want if hh == h}
             assert {"*", f"bot{h % 3}", ""} == agents
+
+
+class TestStratifiedWeightedSample:
+    def test_python_mirror_and_per_stratum_quota(self, spark):
+        import hashlib
+        import math
+
+        docs = [
+            (r.doc_id, r.source, r.n_chars)
+            for r in spark.read.parquet(
+                f"{SF_SMALL}/documents.parquet"
+            ).collect()
+            if r.n_chars > 0
+        ]
+        keyed = []
+        for doc_id, source, w in docs:
+            h = int(
+                hashlib.md5(f"sws|{doc_id}".encode()).hexdigest()[:15], 16
+            )
+            u = (h + 1) / float(1 << 60)
+            keyed.append((source, round(math.log(u) / w, 10), doc_id, w))
+        want = set()
+        by_src: dict[str, list] = {}
+        for source, key, doc_id, w in keyed:
+            by_src.setdefault(source, []).append((key, doc_id, w))
+        for source, items in by_src.items():
+            items.sort(key=lambda t: (-t[0], t[1]))
+            for rn, (key, doc_id, w) in enumerate(items[:10], start=1):
+                want.add((source, doc_id, w, key, rn))
+        got = {
+            (r.source, r.doc_id, r.weight, r.key, r.rn)
+            for r in QUERIES["stratified_weighted_sample"]
+            .fn(spark, SF_SMALL).collect()
+        }
+        assert got == want
+        # every stratum fills its quota (corpus has >=10 docs/source)
+        per_src = {}
+        for source, *_ in got:
+            per_src[source] = per_src.get(source, 0) + 1
+        assert all(v == 10 for v in per_src.values())

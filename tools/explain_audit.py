@@ -421,6 +421,12 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"\(\d+\) Window", r"BroadcastHashJoin"],
      [r"SortMergeJoin", r"SinglePartition",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # stratified A-ES: key in the scan projection, rank window on the
+    # stratum key — never a global sort, no join, no python
+    ("stratified_weighted_sample",
+     [r"\(\d+\) Window", r"hashpartitioning\(source#\d+"],
+     [r"\+- Sort .*global=true", r"SinglePartition", r"Join",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
