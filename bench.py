@@ -89,6 +89,7 @@ HEADLINE = [
     "chunk_dedup_rewrite",
     "robots_rules_parse",
     "stratified_weighted_sample",
+    "cdx_index_build",
 ]
 
 

@@ -5799,6 +5799,33 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc_component_summary(spark, sf_dir)
 
 
+def _warc_url_col():
+    return F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def _warc_date_col():
+    return F.concat(
+        F.lit("2020-01-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z"),
+    )
+
+
+def _warc_payload_col():
+    return F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>"),
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+
+
 @query(
     "warc_parse_roundtrip",
     oracle="""
@@ -5833,24 +5860,9 @@ def q_warc_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.warc import parse_warc_blobs, warc_record_expr
 
     docs = _t(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://host"),
-        (F.col("doc_id") % 23).cast("string"),
-        F.lit(".example.com/doc/"),
-        F.col("doc_id").cast("string"),
-    )
-    date = F.concat(
-        F.lit("2020-01-"),
-        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
-        F.lit("T00:00:00Z"),
-    )
-    payload = F.concat(
-        F.lit("<html><head><title>doc "),
-        F.col("doc_id").cast("string"),
-        F.lit("</title></head><body>"),
-        F.col("text"),
-        F.lit("</body></html>"),
-    )
+    url = _warc_url_col()
+    date = _warc_date_col()
+    payload = _warc_payload_col()
     recs = docs.select(
         (F.col("doc_id") / 32).cast("long").alias("file_id"),
         F.struct(F.col("doc_id"), warc_record_expr(url, date, payload).alias("rec")).alias("s"),
@@ -6422,6 +6434,102 @@ def q_stratified_weighted_sample(
     )
 
 
+@query(
+    "cdx_index_build",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             'https://host' || CAST(doc_id % 23 AS VARCHAR)
+               || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             '2020-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               || 'T00:00:00Z' AS dt,
+             '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+               || '</title></head><body>' || text
+               || '</body></html>' AS payload
+      FROM documents),
+    r AS (
+      SELECT doc_id, url, dt, payload, doc_id // 32 AS file_id,
+             -- byte-exact record length: 87 fixed header/separator
+             -- bytes + variable fields (ASCII: chars == bytes)
+             87 + length(url) + length(dt) + length(payload)
+                + length(CAST(length(payload) AS VARCHAR)) AS rec_length
+      FROM p),
+    o AS (
+      SELECT *,
+             COALESCE(SUM(rec_length) OVER (
+               PARTITION BY file_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS rec_offset
+      FROM r)
+    SELECT array_to_string(
+             list_reverse(
+               string_split(
+                 regexp_extract(url, 'https?://([^/]+)', 1), '.')), ',')
+           || ')'
+           || regexp_extract(url, 'https?://[^/]+(/.*)', 1) AS surt,
+           regexp_replace(dt, '[^0-9]', '', 'g') AS ts,
+           md5(payload) AS digest,
+           'warc-' || CAST(file_id AS VARCHAR) AS warc_file,
+           CAST(rec_offset AS BIGINT) AS rec_offset,
+           CAST(rec_length AS BIGINT) AS rec_length
+    FROM o
+    """,
+    doc="CDX index construction — the Common-Crawl lookup structure "
+        "over the WARC layout: one line per record with the SURT key "
+        "(range-partitionable, url_surt's contract), compact "
+        "timestamp, payload digest (revisit dedup key), and the "
+        "byte-accurate (file, offset, length) pointer into the "
+        "fixed-size WARC files of warc_parse_roundtrip — offsets are "
+        "a per-file running sum of record lengths (window prefix-"
+        "sum, the pack_sequences idiom at file granularity). The "
+        "Spark side measures F.length of the ACTUAL record string "
+        "while the oracle derives length arithmetically, so a green "
+        "row proves the framing constant; the pointer's byte-"
+        "accuracy against real blob bytes is pinned in tests "
+        "(slice-at-offset → reparse → same record).",
+)
+def q_cdx_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warc import warc_record_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    url, date, payload = (
+        _warc_url_col(), _warc_date_col(), _warc_payload_col()
+    )
+    r = docs.select(
+        "doc_id",
+        url.alias("url"),
+        date.alias("dt"),
+        F.md5(payload).alias("digest"),
+        (F.col("doc_id") / 32).cast("long").alias("file_id"),
+        F.length(warc_record_expr(url, date, payload)).cast("long").alias(
+            "rec_length"
+        ),
+    )
+    w = (
+        W.partitionBy("file_id")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    o = r.withColumn(
+        "rec_offset", F.coalesce(F.sum("rec_length").over(w), F.lit(0))
+    )
+    host = F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1)
+    path = F.regexp_extract(F.col("url"), r"https?://[^/]+(/.*)", 1)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"), path,
+    )
+    return o.select(
+        surt.alias("surt"),
+        F.regexp_replace("dt", "[^0-9]", "").alias("ts"),
+        "digest",
+        F.concat(F.lit("warc-"), F.col("file_id").cast("string")).alias(
+            "warc_file"
+        ),
+        "rec_offset", "rec_length",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -6466,16 +6574,17 @@ _DRIVER_WINDOW_FIRST = [
     "connected_components", "warc_parse_roundtrip", "url_surt",
     "host_gap_compliance", "soft404_detect", "content_drift_simhash",
     "chunk_dedup_rewrite", "robots_rules_parse",
-    "stratified_weighted_sample",
+    "stratified_weighted_sample", "cdx_index_build",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
-    #    (Nine veterans evicted to make room for 1b keep their
+    #    (Ten veterans evicted to make room for 1b keep their
     #    r02-green rows AND dedicated property suites:
     #    ann_ivf_topk, ann_cosine_topk, dedup_clusters,
     #    repetition_ratio, langid_ngram, idf_doc_score, ann_lsh_topk,
     #    embedding_neardup (re-measured every round by the bench_sf10
-    #    policy probe), jaccard_bigram_pairs (likewise probed) —
+    #    policy probe), jaccard_bigram_pairs and minhash_lsh_pairs
+    #    (likewise probed every round) —
     #    test_dedup_similarity.py / test_analytics_properties.py —
     #    plus the every-round check_oracles sweep.)
     "missing_years", "pricing_summary", "rollup_type_year",
@@ -6483,7 +6592,7 @@ _DRIVER_WINDOW_FIRST = [
     "wave_assignment", "sessionize", "union_dedup_merge",
     "seed_list_build", "dedup_exact", "quality_score",
     "lang_agreement", "fingerprint_prefix", "dedup_norm_exact",
-    "minhash_lsh_pairs", "simhash_dedup",
+    "simhash_dedup",
 ]
 
 

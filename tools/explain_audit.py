@@ -427,6 +427,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"\(\d+\) Window", r"hashpartitioning\(source#\d+"],
      [r"\+- Sort .*global=true", r"SinglePartition", r"Join",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # CDX build: offsets are a per-file window prefix-sum — one
+    # file-keyed exchange, everything else scan projection; no join,
+    # no python, no global sort
+    ("cdx_index_build",
+     [r"\(\d+\) Window", r"hashpartitioning\(file_id#\d+L"],
+     [r"\+- Sort .*global=true", r"SinglePartition", r"Join",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
