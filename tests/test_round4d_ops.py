@@ -496,3 +496,34 @@ class TestCdxIndexBuild:
             assert url.startswith(f"https://{host}/")
             assert md5hex == line.digest
             assert line.ts == "".join(c for c in date if c.isdigit())
+
+
+class TestCcHypothesis:
+    def test_random_graphs_match_union_find(self, spark):
+        """Property: on arbitrary small graphs, alternating large-
+        star/small-star labels == union-find component minima."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st_
+
+        @settings(
+            max_examples=12, deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(
+            st_.lists(
+                st_.tuples(
+                    st_.integers(0, 30), st_.integers(0, 30)
+                ),
+                min_size=1, max_size=40,
+            )
+        )
+        def prop(edges):
+            real = [(u, v) for u, v in edges if u != v]
+            df = spark.createDataFrame(
+                edges, "u long, v long"
+            )
+            labels, _ = alternating_cc(df)
+            got = {r.node: r.label for r in labels.collect()}
+            assert got == _union_find(real)
+
+        prop()

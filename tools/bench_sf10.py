@@ -173,6 +173,12 @@ def main() -> None:
         # chunk rewrite: salted tokens keep cross-copy chunk overlap
         # at zero, so the dup structure (and output) grow linearly
         "chunk_dedup_rewrite",
+        # robots: host space fixed (29) — rows scale, groups don't;
+        # stratified sample: rank window on the source stratum;
+        # cdx: per-file prefix-sum windows over the 100x doc set
+        "robots_rules_parse",
+        "stratified_weighted_sample",
+        "cdx_index_build",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:
