@@ -90,6 +90,7 @@ HEADLINE = [
     "robots_rules_parse",
     "stratified_weighted_sample",
     "cdx_index_build",
+    "kcore_peel",
 ]
 
 

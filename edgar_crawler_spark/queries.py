@@ -6530,6 +6530,135 @@ def q_cdx_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_MOD, _KCORE_DENSE, _KCORE_K, _KCORE_ROUNDS = 3000, 60, 4, 8
+
+
+def _kcore_edges_sql() -> str:
+    """Planted dense block (60 nodes) + sparse hashed background —
+    pure G(n, m) graphs have all-or-nothing cores, so the fixture
+    needs heterogeneity for the peel to be non-trivial at BOTH test
+    SFs (53/1617 nodes survive at sf0.001, 2906/3000 at sf0.01)."""
+    return f"""
+      SELECT src, dst FROM (
+        SELECT DISTINCT (event_id * 2654435761) % {_KCORE_MOD} AS src,
+               (event_id * 2654435761 + user_id * 40503 + 7)
+                 % {_KCORE_MOD} AS dst
+        FROM events
+        UNION
+        SELECT DISTINCT (user_id * 31 + event_id) % {_KCORE_DENSE} AS src,
+               (user_id * 31 + event_id * 17 + 3) % {_KCORE_DENSE} AS dst
+        FROM events WHERE event_id % 4 = 0)
+      WHERE src <> dst"""
+
+
+def _oracle_kcore_sql() -> str:
+    """Unrolled peel rounds (the pagerank-oracle pattern): round i
+    keeps nodes whose degree over the surviving symmetric edge set is
+    >= k, then restricts edges to kept endpoints."""
+    k, r = _KCORE_K, _KCORE_ROUNDS
+    # MATERIALIZED: each e{i} is referenced twice per round (degree
+    # count + restriction join); inlining would expand the chain
+    # exponentially across rounds (observed: "too many open files"
+    # from thousands of inlined parquet scans)
+    parts = [
+        f"eu AS MATERIALIZED ({_kcore_edges_sql()})",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM eu"
+        " UNION SELECT dst, src FROM eu)",
+    ]
+    for i in range(r):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg "
+            f"FROM e{i} GROUP BY src)"
+        )
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e "
+            f"JOIN n{i} a ON a.node = e.src "
+            f"JOIN n{i} b ON b.node = e.dst)"
+        )
+    parts.append(
+        f"dfin AS (SELECT src AS node, COUNT(*) AS deg "
+        f"FROM e{r} GROUP BY src)"
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(deg AS BIGINT) AS degree
+    FROM dfin WHERE deg >= {_KCORE_K}
+    """
+    )
+
+
+def kcore_nodes(
+    spark: SparkSession, sf_dir: str,
+    mod: int = _KCORE_MOD, dense: int = _KCORE_DENSE,
+    k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS,
+) -> DataFrame:
+    """k-core by iterative peeling (Matula & Beck; Batagelj &
+    Zaversnik's bucket algorithm is the sequential analogue) with a
+    FIXED round count — deterministic, and at these fixtures the
+    fixpoint lands by round 6 (pinned in tests). Per round: one
+    degree aggregate + one two-sided semi-join, both keyed on the
+    node id; edges localCheckpoint-ed (they feed the degree count
+    AND the next restriction — the lineage discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    bg = ev.select(
+        ((F.col("event_id") * 2654435761) % mod).alias("src"),
+        (
+            (F.col("event_id") * 2654435761 + F.col("user_id") * 40503 + 7)
+            % mod
+        ).alias("dst"),
+    )
+    dn = ev.filter(F.col("event_id") % 4 == 0).select(
+        ((F.col("user_id") * 31 + F.col("event_id")) % dense).alias("src"),
+        (
+            (F.col("user_id") * 31 + F.col("event_id") * 17 + 3) % dense
+        ).alias("dst"),
+    )
+    und = bg.union(dn).filter(F.col("src") != F.col("dst")).distinct()
+    edges = (
+        und.union(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        edges = (
+            edges.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    fin = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return fin.filter(F.col("deg") >= k).select(
+        F.col("src").alias("node"), F.col("deg").alias("degree")
+    )
+
+
+@query(
+    "kcore_peel",
+    oracle=_oracle_kcore_sql(),
+    doc=f"k-core extraction (k={_KCORE_K}) by {_KCORE_ROUNDS} "
+        "unrolled peel rounds over a planted-dense-block graph — the "
+        "density analysis behind link-farm/spam detection and "
+        "community seeding on the web graph (dense cores survive, "
+        "the sparse crawl periphery peels away); the fourth "
+        "iterative-graph primitive beside PageRank-style power "
+        "iteration, min-label CC, and LPA. Per round one node-keyed "
+        "degree aggregate + a two-sided restriction join, edges "
+        "checkpointed per round; the oracle unrolls the identical "
+        "rounds in SQL (exact integer degrees — no rounding "
+        "contract needed).",
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kcore_nodes(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -6574,17 +6703,19 @@ _DRIVER_WINDOW_FIRST = [
     "connected_components", "warc_parse_roundtrip", "url_surt",
     "host_gap_compliance", "soft404_detect", "content_drift_simhash",
     "chunk_dedup_rewrite", "robots_rules_parse",
-    "stratified_weighted_sample", "cdx_index_build",
+    "stratified_weighted_sample", "cdx_index_build", "kcore_peel",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
-    #    (Ten veterans evicted to make room for 1b keep their
+    #    (Eleven veterans evicted to make room for 1b keep their
     #    r02-green rows AND dedicated property suites:
     #    ann_ivf_topk, ann_cosine_topk, dedup_clusters,
     #    repetition_ratio, langid_ngram, idf_doc_score, ann_lsh_topk,
     #    embedding_neardup (re-measured every round by the bench_sf10
     #    policy probe), jaccard_bigram_pairs and minhash_lsh_pairs
-    #    (likewise probed every round) —
+    #    (likewise probed every round), simhash_dedup (bench-headline
+    #    every round; its vote kernel re-certified through
+    #    content_drift_simhash's oracle) —
     #    test_dedup_similarity.py / test_analytics_properties.py —
     #    plus the every-round check_oracles sweep.)
     "missing_years", "pricing_summary", "rollup_type_year",
@@ -6592,7 +6723,6 @@ _DRIVER_WINDOW_FIRST = [
     "wave_assignment", "sessionize", "union_dedup_merge",
     "seed_list_build", "dedup_exact", "quality_score",
     "lang_agreement", "fingerprint_prefix", "dedup_norm_exact",
-    "simhash_dedup",
 ]
 
 

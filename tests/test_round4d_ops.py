@@ -527,3 +527,46 @@ class TestCcHypothesis:
             assert got == _union_find(real)
 
         prop()
+
+
+class TestKcorePeel:
+    def test_matches_python_peel_and_fixpoint(self, spark):
+        """Python peel-to-fixpoint == the fixed-round query (the 8
+        rounds must reach the fixpoint at this SF), and the result
+        is a true k-core: every member keeps >= k neighbors INSIDE
+        the core."""
+        from collections import defaultdict
+
+        from edgar_crawler_spark.queries import (
+            _KCORE_DENSE,
+            _KCORE_K,
+            _KCORE_MOD,
+            QUERIES,
+        )
+
+        ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+        adj = defaultdict(set)
+        for r in ev:
+            u = (r.event_id * 2654435761) % _KCORE_MOD
+            v = (r.event_id * 2654435761 + r.user_id * 40503 + 7) % _KCORE_MOD
+            if u != v:
+                adj[u].add(v); adj[v].add(u)
+            if r.event_id % 4 == 0:
+                a = (r.user_id * 31 + r.event_id) % _KCORE_DENSE
+                b = (r.user_id * 31 + r.event_id * 17 + 3) % _KCORE_DENSE
+                if a != b:
+                    adj[a].add(b); adj[b].add(a)
+        nodes = set(adj)
+        while True:
+            drop = {n for n in nodes if len(adj[n] & nodes) < _KCORE_K}
+            if not drop:
+                break
+            nodes -= drop
+        want = {n: len(adj[n] & nodes) for n in nodes}
+        got = {
+            r.node: r.degree
+            for r in QUERIES["kcore_peel"].fn(spark, SF_SMALL).collect()
+        }
+        assert got == want
+        assert got, "fixture must yield a non-empty core"
+        assert all(d >= _KCORE_K for d in got.values())

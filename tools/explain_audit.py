@@ -434,6 +434,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"\(\d+\) Window", r"hashpartitioning\(file_id#\d+L"],
      [r"\+- Sort .*global=true", r"SinglePartition", r"Join",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # k-core: per-round checkpoints — the FINAL plan is one degree
+    # aggregate over the last round's materialized edge RDD, no join
+    # tree above it
+    ("kcore_peel",
+     [r"HashAggregate", r"Scan ExistingRDD"],
+     [r"Join", r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
