@@ -6627,6 +6627,12 @@ def kcore_nodes(
     )
     for _ in range(rounds):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # early exit at the fixpoint: a converged round is the
+        # identity in BOTH engines (the oracle's remaining unrolled
+        # rounds are no-ops too), so stopping early is result-
+        # identical and saves the dead rounds' edge shuffles
+        if deg.filter(F.col("deg") < k).limit(1).count() == 0:
+            break
         keep = deg.filter(F.col("deg") >= k).select("src")
         edges = (
             edges.join(keep, "src")

@@ -274,6 +274,31 @@ def main() -> None:
         print(f"{name + '@mod20000':28s} {t_small:7.2f}s -> "
               f"{t_big:7.2f}s  x{t_big / t_small:6.2f}", file=sys.stderr)
 
+    # k-core: background node space grows with the event count (the
+    # rank-builder rule); the planted dense block grows too (60 ->
+    # 6000) so the core stays a structure, not a saturated clique
+    from edgar_crawler_spark.queries import kcore_nodes  # noqa: PLC0415
+
+    if ("--policy-only" not in sys.argv) and (
+        not only or "kcore_peel" in only
+    ):
+        t0 = time.perf_counter()
+        force(kcore_nodes(spark, SRC, mod=3000, dense=60))
+        t_small = time.perf_counter() - t0
+        release_caches()
+        t0 = time.perf_counter()
+        force(kcore_nodes(spark, DST, mod=300000, dense=6000))
+        t_big = time.perf_counter() - t0
+        release_caches()
+        out["kcore_peel@mod300k"] = {
+            "sf0.1_sec": round(t_small, 3),
+            "x100_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+            "mod": "3k->300k, dense 60->6k",
+        }
+        print(f"{'kcore_peel@mod300k':28s} {t_small:7.2f}s -> "
+              f"{t_big:7.2f}s  x{t_big / t_small:6.2f}", file=sys.stderr)
+
     # connected components: like the rank probes, the node-space mod
     # grows with the event count (50k -> 5M) so average degree and
     # component structure stay comparable; rounds stay O(log^2 n)
