@@ -150,3 +150,90 @@ def hll_registers_py(values: list[str]) -> dict[int, int]:
         rho = 52 if w == 0 else 52 - w.bit_length()
         regs[bucket] = max(regs.get(bucket, 0), rho)
     return regs
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# counters. The dual of HLL above — HLL answers "how many distinct",
+# CMS answers "how often does THIS key occur" with one-sided error
+# (never under, over by at most eps*N with prob 1-delta). Same
+# cross-engine hash contract: row-i hash of value v is the 60-bit md5
+# prefix of "i:v", bucket = h mod CMS_W, so DuckDB derives
+# bit-identical counters from the same stream.
+#
+# At 100 TB: counters are CMS_D x CMS_W BIGINTs regardless of stream
+# size, sums combine map-side and ACROSS shards/days (sketch of a
+# union = elementwise sum of sketches) — how per-token / per-host
+# frequencies are tracked on a 10^10-URL frontier where an exact
+# count table IS the shuffle you are trying to avoid.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4     # hash rows (delta = e^-4 ~ 1.8%)
+CMS_W = 256   # buckets per row (eps = e/256 ~ 1.1% of stream mass)
+
+
+def _cms_bucket(col, i: int) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+    return (h % CMS_W).alias("bucket")
+
+
+def cms_counters(values: DataFrame, col: str = "t") -> DataFrame:
+    """(row, bucket, cnt) counters of the CMS of the `values[col]`
+    stream (with multiplicity). Each occurrence increments one bucket
+    per hash row; the groupBy combines map-side, so the shuffled state
+    is at most CMS_D x CMS_W rows per partition."""
+    entries = F.array(*[
+        F.struct(F.lit(i).alias("row"), _cms_bucket(F.col(col), i))
+        for i in range(CMS_D)
+    ])
+    occ = values.select(F.explode(entries).alias("e")).select(
+        F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket")
+    )
+    return occ.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(*counter_sets: DataFrame) -> DataFrame:
+    """Elementwise sum — the sketch of the concatenated streams."""
+    out = counter_sets[0]
+    for c in counter_sets[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(counters: DataFrame, probes: DataFrame,
+                 col: str = "t") -> DataFrame:
+    """Point-query estimates: per probe value, min over the CMS_D
+    counters it hashes into (absent bucket = 0). `counters` is
+    sketch-sized (<= CMS_D*CMS_W rows) and broadcasts; the probe set
+    never shuffles on a data-sized key."""
+    entries = F.array(*[
+        F.struct(F.lit(i).alias("row"), _cms_bucket(F.col(col), i))
+        for i in range(CMS_D)
+    ])
+    pb = probes.select(
+        F.col(col), F.explode(entries).alias("e")
+    ).select(col, F.col("e.row").alias("row"),
+             F.col("e.bucket").alias("bucket"))
+    joined = pb.join(F.broadcast(counters), ["row", "bucket"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt")
+    )
+
+
+def cms_counters_py(values: list[str]) -> dict[tuple[int, int], int]:
+    """Pure-Python mirror of cms_counters for property tests."""
+    import hashlib
+
+    cnt: dict[tuple[int, int], int] = {}
+    for v in values:
+        for i in range(CMS_D):
+            h = int(
+                hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:15], 16
+            )
+            key = (i, h % CMS_W)
+            cnt[key] = cnt.get(key, 0) + 1
+    return cnt

@@ -6665,6 +6665,519 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_nodes(spark, sf_dir)
 
 
+
+# ---------------------------------------------------------------------------
+# Round 4e: Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_TOPK = 20
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    occ AS (
+      SELECT i,
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t),
+                                  1, 15)) AS BIGINT) % {{w}} AS bucket
+      FROM toks CROSS JOIN range({{d}}) AS r(i)),
+    cms AS (SELECT i, bucket, COUNT(*) AS cnt FROM occ GROUP BY i, bucket),
+    truec AS (SELECT t, COUNT(*) AS true_cnt FROM toks GROUP BY t),
+    topk AS (SELECT t, true_cnt FROM truec
+             ORDER BY true_cnt DESC, t LIMIT {{k}}),
+    probe AS (
+      SELECT t, true_cnt, i,
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t),
+                                  1, 15)) AS BIGINT) % {{w}} AS bucket
+      FROM topk CROSS JOIN range({{d}}) AS r(i)),
+    est AS (
+      SELECT p.t, p.true_cnt, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+      FROM probe p LEFT JOIN cms c ON c.i = p.i AND c.bucket = p.bucket
+      GROUP BY p.t, p.true_cnt)
+    SELECT t AS token,
+           CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS overestimate
+    FROM est
+    """.format(w=SK.CMS_W, d=SK.CMS_D, k=_CMS_TOPK),
+    doc="Count-Min sketch (Cormode & Muthukrishnan 2005) frequency "
+        "estimation over the token stream — the mergeable FREQUENCY "
+        "dual of hll_distinct's mergeable cardinality: CMS_D=4 hash "
+        "rows x CMS_W=256 buckets of BIGINT counters, each occurrence "
+        "incrementing one bucket per row, point query = min over the "
+        "4 counters (one-sided error: never under, over by <= eps*N). "
+        "Hash contract identical cross-engine (60-bit md5 prefix of "
+        "'i:token'), so DuckDB derives bit-identical counters. The "
+        "exact per-token counts and the top-20 probe set exist only "
+        "to VERIFY the sketch (overestimate >= 0 for every probe, by "
+        "construction); production reads the sketch alone. Scale "
+        "shape: counter state is 1024 rows no matter the corpus, "
+        "partial counters sum map-side and across shards/days "
+        "(sketch of a union = elementwise sum), and the probe join "
+        "broadcasts the sketch — how per-token / per-host hit "
+        "frequencies are tracked on a 10^10-URL frontier where the "
+        "exact count table IS the shuffle being avoided. "
+        "operators/sketch.py:cms_counters.",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.spread(docs).select(
+        F.explode(D.tokens_col("text")).alias("t")
+    )
+    # toks is deliberately NOT cached: the occurrence stream is
+    # corpus-sized, and re-scanning parquet twice (sketch pass +
+    # exact-verify pass) is the 100 TB shape; only sketch-sized
+    # state ever shuffles.
+    counters = SK.cms_counters(toks, "t")
+    true_cnt = toks.groupBy("t").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    topk = true_cnt.orderBy(
+        F.desc("true_cnt"), F.asc("t")
+    ).limit(_CMS_TOPK)
+    est = SK.cms_estimate(counters, topk.select("t"), "t")
+    return (
+        topk.join(F.broadcast(est), "t")
+        .select(
+            F.col("t").alias("token"),
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+            (F.col("est_cnt") - F.col("true_cnt")).cast("long")
+            .alias("overestimate"),
+        )
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Round 4e: DSIR hashed-ngram importance weighting
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 512       # hashed feature buckets
+_DSIR_TOPK = 20
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "dsir_select",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    feats AS (
+      SELECT doc_id, lang, t
+      FROM tk, UNNEST(toks) AS u(t)
+      UNION ALL
+      SELECT doc_id, lang, t
+      FROM tk, UNNEST([toks[i] || '|' || toks[i+1]
+                       for i in generate_series(1, len(toks) - 1)]) AS u(t)),
+    fb AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_DSIR_B} AS b
+      FROM feats),
+    raw AS (
+      SELECT b, COUNT(*) AS c_raw,
+             COUNT(*) FILTER (lang = '{_DSIR_TARGET_LANG}') AS c_tgt
+      FROM fb GROUP BY b),
+    tot AS (SELECT SUM(c_raw) AS r_tot, SUM(c_tgt) AS t_tot FROM raw),
+    lr AS (
+      SELECT raw.b,
+             ln((c_tgt + 1.0) / (tot.t_tot + {_DSIR_B}))
+           - ln((c_raw + 1.0) / (tot.r_tot + {_DSIR_B})) AS lr
+      FROM raw, tot),
+    db AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM fb GROUP BY ALL),
+    score AS (
+      SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_feats,
+             ROUND(SUM(c * lr.lr) / SUM(c), 4) AS dsir_weight
+      FROM db JOIN lr ON db.b = lr.b
+      GROUP BY doc_id, lang)
+    SELECT doc_id, lang, n_feats, dsir_weight
+    FROM score ORDER BY dsir_weight DESC, doc_id LIMIT {_DSIR_TOPK}
+    """,
+    doc="DSIR data selection (Xie et al. 2023, 'Data Selection for "
+        "Language Models via Importance Resampling'): per-document "
+        "importance weight = average log-likelihood ratio of the "
+        "doc's hashed n-gram features (unigrams + bigrams md5-hashed "
+        "into 512 buckets) under the TARGET distribution (here the "
+        "lang='en' slice, playing Wikipedia/books) vs the RAW crawl "
+        "distribution, add-one smoothed. Top-20 by weight = the docs "
+        "to keep when resampling a 100 TB crawl toward a target "
+        "domain. Scale shape: both bag-of-buckets distributions are "
+        "ONE map-side-combined aggregate over the feature stream "
+        "with 512-row state; the log-ratio table broadcasts to a "
+        "per-(doc,bucket) count join, so nothing corpus-sized ever "
+        "shuffles on a small key, and the final selection is a "
+        "TakeOrderedAndProject top-k, not a global sort. The "
+        "bigram builder uses NULL-for-short-docs + explode_outer so "
+        "Catalyst does not re-evaluate the array under a synthesized "
+        "size()>0 pushdown.",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tk = D.spread(docs).select(
+        "doc_id", "lang", D.tokens_col("text").alias("toks")
+    )
+    uni = tk.select("doc_id", "lang", F.explode("toks").alias("t"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(toks[i-1], '|', toks[i]))"
+        ),
+    )  # NULL (not empty array) for 1-token docs -> explode_outer
+    big = (
+        tk.select("doc_id", "lang", F.explode_outer(bigrams).alias("t"))
+        .filter(F.col("t").isNotNull())
+    )
+    fb = uni.unionByName(big).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    is_tgt = (F.col("lang") == _DSIR_TARGET_LANG).cast("long")
+    raw = fb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(is_tgt).alias("c_tgt"),
+    )
+    tot = raw.agg(
+        F.sum("c_raw").alias("r_tot"), F.sum("c_tgt").alias("t_tot")
+    )
+    lr = raw.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + 1.0) / (F.col("t_tot") + _DSIR_B))
+            - F.log((F.col("c_raw") + 1.0) / (F.col("r_tot") + _DSIR_B))
+        ).alias("lr"),
+    )
+    db = fb.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    score = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.round(
+                F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 4
+            ).alias("dsir_weight"),
+        )
+    )
+    return score.orderBy(
+        F.desc("dsir_weight"), F.asc("doc_id")
+    ).limit(_DSIR_TOPK).select("doc_id", "lang", "n_feats", "dsir_weight")
+
+
+
+# ---------------------------------------------------------------------------
+# Round 4e: DUST duplicate-URL rule mining
+# ---------------------------------------------------------------------------
+
+_DUST_MIN_SUPPORT = 5
+
+
+@query(
+    "dust_rules",
+    oracle=f"""
+    WITH pages AS (
+      SELECT md5(text) AS digest, url
+      FROM (
+        SELECT text,
+               'http://h' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/art/' || CAST(doc_id AS VARCHAR) AS base,
+               doc_id
+        FROM documents),
+      UNNEST(CASE WHEN doc_id % 2 = 0
+                  THEN [base,
+                        base || '?sid=s' || CAST(doc_id % 3 AS VARCHAR),
+                        replace(base, 'http://', 'http://www.')]
+                  ELSE [base,
+                        base || '?sid=s' || CAST(doc_id % 3 AS VARCHAR)]
+             END) AS u(url)),
+    pairs AS (
+      SELECT a.url AS ua, b.url AS ub
+      FROM pages a JOIN pages b
+        ON a.digest = b.digest AND a.url < b.url),
+    diffed AS (
+      SELECT ua, ub,
+             least(length(ua), length(ub)) AS n,
+             COALESCE(list_filter(
+                        generate_series(1, least(length(ua), length(ub))),
+                        i -> substr(ua, i, 1) <> substr(ub, i, 1))[1] - 1,
+                      least(length(ua), length(ub))) AS lcp,
+             COALESCE(list_filter(
+                        generate_series(1, least(length(ua), length(ub))),
+                        i -> substr(reverse(ua), i, 1)
+                             <> substr(reverse(ub), i, 1))[1] - 1,
+                      least(length(ua), length(ub))) AS lcs_raw
+      FROM pairs),
+    rules AS (
+      SELECT substr(ua, lcp + 1,
+                    length(ua) - lcp - least(lcs_raw, n - lcp)) AS alpha,
+             substr(ub, lcp + 1,
+                    length(ub) - lcp - least(lcs_raw, n - lcp)) AS beta,
+             regexp_extract(ua, '://([^/?#]+)', 1) AS host
+      FROM diffed)
+    SELECT alpha, beta,
+           CAST(COUNT(*) AS BIGINT) AS support,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM rules
+    GROUP BY alpha, beta
+    HAVING COUNT(*) >= {_DUST_MIN_SUPPORT}
+    ORDER BY support DESC, alpha, beta
+    """,
+    doc="DUST rule mining (Bar-Yossef et al. 2007, 'Do Not Crawl in "
+        "the DUST: Different URLs with Similar Text'): from pairs of "
+        "URLs whose fetched content has the SAME digest, extract the "
+        "substring-substitution rule (alpha -> beta) left over after "
+        "stripping the pair's longest common prefix and suffix, then "
+        "keep rules with corpus support >= "
+        f"{_DUST_MIN_SUPPORT} and report how many hosts they "
+        "generalize across — the canonicalization rules (session-id "
+        "strip, www-fold) a frontier applies BEFORE the URL-seen "
+        "check, collapsing alias families without fetching them. The "
+        "deterministic page table plants both real rule families "
+        "(?sid=sK suffixes, www. prefixes) and exact-dup noise pairs "
+        "whose doc-specific rules die below the support threshold, "
+        "exactly as in the paper. Scale shape: the pair generator is "
+        "a digest-keyed equi-join (fan-out bounded by the content-"
+        "duplication factor, never all-pairs); LCP/LCS are pure "
+        "JVM higher-order functions (try_element_at over a filtered "
+        "index sequence — no Python, no quadratic regex); the rule "
+        "aggregate keys on the rule string itself and the distinct "
+        "expands to (rule, host) so no small key carries a data-"
+        "sized shuffle.",
+)
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/art/"), F.col("doc_id").cast("string"),
+    )
+    sid = F.concat(
+        F.col("base"), F.lit("?sid=s"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    www = F.regexp_replace(F.col("base"), "^http://", "http://www.")
+    d0 = D.spread(docs).select(
+        F.md5("text").alias("digest"), base.alias("base"), "doc_id"
+    )
+    urls = F.when(
+        F.col("doc_id") % 2 == 0, F.array(F.col("base"), sid, www)
+    ).otherwise(F.array(F.col("base"), sid))
+    pages = d0.select("digest", F.explode(urls).alias("url"))
+    a, b = pages.alias("a"), pages.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.digest") == F.col("b.digest"))
+        & (F.col("a.url") < F.col("b.url")),
+    ).select(F.col("a.url").alias("ua"), F.col("b.url").alias("ub"))
+    diffed = (
+        pairs.selectExpr("ua", "ub", "least(length(ua), length(ub)) AS n")
+        .selectExpr(
+            "ua", "ub", "n",
+            "coalesce(try_element_at(filter(sequence(1, n),"
+            " i -> substr(ua, i, 1) <> substr(ub, i, 1)), 1) - 1, n)"
+            " AS lcp",
+            "coalesce(try_element_at(filter(sequence(1, n),"
+            " i -> substr(reverse(ua), i, 1) <> substr(reverse(ub), i, 1))"
+            ", 1) - 1, n) AS lcs_raw",
+        )
+        .selectExpr("ua", "ub", "lcp", "least(lcs_raw, n - lcp) AS lcs")
+    )
+    rules = diffed.selectExpr(
+        "substr(ua, lcp + 1, length(ua) - lcp - lcs) AS alpha",
+        "substr(ub, lcp + 1, length(ub) - lcp - lcs) AS beta",
+        "regexp_extract(ua, '://([^/?#]+)', 1) AS host",
+    )
+    return (
+        rules.groupBy("alpha", "beta")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("support"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+        .filter(F.col("support") >= _DUST_MIN_SUPPORT)
+        .orderBy(F.desc("support"), F.asc("alpha"), F.asc("beta"))
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Round 4e: HyperANF neighborhood function
+# ---------------------------------------------------------------------------
+
+_ANF_P = 5            # 2^5 = 32 registers per node (HyperANF uses small m)
+_ANF_M = 1 << _ANF_P
+_ANF_ALPHA = 0.697    # Flajolet alpha_32 (paper constant)
+_ANF_T = 3            # radius: neighborhood function N(0..3)
+# with a 60-bit hash and p register bits, 60-p bits remain; rho is
+# their leading-zero rank + 1, so rho_max = 61 - p (= 52 only at the
+# corpus sketch's p=9 — the generic form matters here at p=5)
+_ANF_RMAX = 61 - _ANF_P
+
+
+def _oracle_hyperanf_sql() -> str:
+    m, T, rmax = _ANF_M, _ANF_T, _ANF_RMAX
+    alpha = _e(_ANF_ALPHA)
+    raw = f"({alpha}) * {m} * {m} * (2 ** {rmax}) / s_int"
+    parts = [f"""
+    e AS MATERIALIZED ({_pr_edges_sql()}),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h AS (
+      SELECT node,
+             CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM nodes),
+    reg0 AS MATERIALIZED (
+      SELECT node, h % {m} AS bucket,
+             CASE WHEN h // {m} = 0 THEN {rmax}
+                  ELSE {rmax} - length(bin(h // {m})) END AS reg
+      FROM h),
+    reach0 AS MATERIALIZED (SELECT node AS v, node AS u FROM nodes)"""]
+    for i in range(T):
+        n = i + 1
+        parts.append(f"""
+    reg{n} AS MATERIALIZED (
+      SELECT node, bucket, MAX(reg) AS reg FROM (
+        SELECT node, bucket, reg FROM reg{i}
+        UNION ALL
+        SELECT e.src AS node, r.bucket, r.reg
+        FROM e JOIN reg{i} r ON r.node = e.dst)
+      GROUP BY node, bucket),
+    reach{n} AS MATERIALIZED (
+      SELECT DISTINCT v, u FROM (
+        SELECT v, u FROM reach{i}
+        UNION ALL
+        SELECT r.v, e.dst AS u
+        FROM reach{i} r JOIN e ON e.src = r.u))""")
+    for t in range(T + 1):
+        parts.append(f"""
+    s{t} AS (
+      SELECT node, COUNT(*) AS n_present,
+             CAST(SUM(CAST(2 ** ({rmax} - reg) AS BIGINT)) AS BIGINT)
+               AS sum_present
+      FROM reg{t} GROUP BY node),
+    v{t} AS (
+      SELECT node,
+             sum_present + ({m} - n_present) * CAST(2 ** {rmax} AS BIGINT)
+               AS s_int,
+             {m} - n_present AS v_zero
+      FROM s{t}),
+    o{t} AS (
+      SELECT CAST({t} AS BIGINT) AS t,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM reach{t})
+               AS exact_pairs,
+             ROUND(SUM(CASE WHEN {raw} <= 2.5 * {m} AND v_zero > 0
+                            THEN {m} * ln({m} * 1.0 / v_zero)
+                            ELSE {raw} END), 4) AS est_sum
+      FROM v{t})""")
+    sel = " UNION ALL ".join(f"SELECT * FROM o{t}" for t in range(T + 1))
+    return "WITH" + ",".join(parts) + f" {sel} ORDER BY t"
+
+
+def _anf_row(regs: DataFrame, reach: DataFrame, t: int) -> DataFrame:
+    """One (t, exact_pairs, est_sum) row from a register table and the
+    exact reachability pairs at the same radius."""
+    m, rmax = _ANF_M, _ANF_RMAX
+    term = F.pow(F.lit(2.0), F.lit(rmax) - F.col("reg")).cast("long")
+    s = regs.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(term).alias("sum_present"),
+    ).select(
+        (F.col("sum_present")
+         + (F.lit(m) - F.col("n_present")) * F.lit(1 << rmax)).alias("s_int"),
+        (F.lit(m) - F.col("n_present")).alias("v_zero"),
+    )
+    raw = (
+        F.lit(_ANF_ALPHA) * m * m * F.lit(float(1 << rmax)) / F.col("s_int")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(raw)
+    agg = s.agg(F.round(F.sum(est), 4).alias("est_sum"))
+    ex = reach.agg(F.count(F.lit(1)).cast("long").alias("exact_pairs"))
+    return ex.crossJoin(F.broadcast(agg)).select(
+        F.lit(t).cast("long").alias("t"), "exact_pairs", "est_sum"
+    )
+
+
+@query(
+    "hyperanf_nf",
+    oracle=_oracle_hyperanf_sql(),
+    doc="HyperANF neighborhood function (Boldi, Rosa & Vigna 2011; "
+        "ANF: Palmer, Gibbons & Faloutsos 2002): N(t) = sum over "
+        "nodes of |ball(v, t)|, estimated by giving every node a "
+        "32-register HLL counter seeded with itself and max-merging "
+        "each node's counter with its successors' counters once per "
+        "radius step — the web-graph diameter/centrality primitive "
+        "that made 'four degrees of separation' computable on "
+        "billion-edge graphs. Registers follow the repo-wide 60-bit "
+        "md5 contract, so DuckDB derives bit-identical counters; the "
+        "exact closure (distinct (v,u) pairs within t hops) rides "
+        "along as the verification column, and the estimate's "
+        "both branches (linear counting for small balls at t=0, raw "
+        "harmonic estimate once balls exceed 2.5m) are exercised. "
+        "Scale shape: state per round is nodes x 32 register rows — "
+        "N*m, NOT N^2 like the exact closure — merged by ONE "
+        "node-keyed aggregate per round after an edge equi-join; "
+        "per-round localCheckpoint cuts the recompute tree exactly "
+        "as pagerank_deep/kcore_peel do, and at 100 TB the exact-"
+        "closure twin is simply dropped (it exists only to verify "
+        "the sketch at toy scale).",
+)
+def q_hyperanf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _event_edges(spark, sf_dir)
+    nodes = _event_nodes(edges)
+    h = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = nodes.select("node", h.alias("h"))
+    w = F.shiftright(F.col("h"), _ANF_P)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(_ANF_RMAX)).otherwise(
+        F.lit(_ANF_RMAX) - bitlen
+    )
+    regs = hashed.select(
+        "node", (F.col("h") % _ANF_M).alias("bucket"), rho.alias("reg")
+    ).localCheckpoint(eager=False)
+    reach = nodes.select(
+        F.col("node").alias("v"), F.col("node").alias("u")
+    ).localCheckpoint(eager=False)
+    rows = [_anf_row(regs, reach, 0)]
+    for t in range(1, _ANF_T + 1):
+        nb = edges.join(
+            regs.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "bucket", "reg")
+        regs = (
+            regs.unionByName(nb)
+            .groupBy("node", "bucket")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint(eager=False)
+        )
+        step = reach.join(
+            edges.withColumnRenamed("src", "u"), "u"
+        ).select("v", F.col("dst").alias("u"))
+        reach = (
+            reach.unionByName(step).distinct().localCheckpoint(eager=False)
+        )
+        rows.append(_anf_row(regs, reach, t))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("t")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -6710,6 +7223,12 @@ _DRIVER_WINDOW_FIRST = [
     "host_gap_compliance", "soft404_detect", "content_drift_simhash",
     "chunk_dedup_rewrite", "robots_rules_parse",
     "stratified_weighted_sample", "cdx_index_build", "kcore_peel",
+    # 1c. never driver-certified: round-4e additions (mergeable CMS,
+    #     DSIR selection, DUST rule mining, HyperANF) — four more
+    #     veterans (dedup_exact, quality_score, lang_agreement,
+    #     fingerprint_prefix) park on their r02-green rows + the
+    #     every-round check_oracles sweep to make room.
+    "cms_heavy_hitters", "dsir_select", "dust_rules", "hyperanf_nf",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
@@ -6727,8 +7246,7 @@ _DRIVER_WINDOW_FIRST = [
     "missing_years", "pricing_summary", "rollup_type_year",
     "recent_per_firm", "keep_last_dedup", "priority_topk",
     "wave_assignment", "sessionize", "union_dedup_merge",
-    "seed_list_build", "dedup_exact", "quality_score",
-    "lang_agreement", "fingerprint_prefix", "dedup_norm_exact",
+    "seed_list_build", "dedup_norm_exact",
 ]
 
 

@@ -1,0 +1,210 @@
+"""Round-4e operators: Count-Min sketch heavy hitters, DSIR
+importance selection, DUST duplicate-URL rule mining, HyperANF
+neighborhood function.
+
+Cross-engine value agreement is covered by the DuckDB oracles
+(tools/check_oracles.py); these pin the laws the oracle cannot see —
+sketch merge algebra, one-sided error, planted-rule recovery, and the
+estimator's error bound against the exact closure.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from edgar_crawler_spark.operators import sketch as SK
+from edgar_crawler_spark.queries import QUERIES
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+class TestCountMin:
+    def test_counters_match_python_mirror(self, spark):
+        vals = [f"tok{i % 17}" for i in range(300)] + ["rare", "rare"]
+        df = spark.createDataFrame([(v,) for v in vals], "t string")
+        got = {
+            (r.row, r.bucket): r.cnt
+            for r in SK.cms_counters(df, "t").collect()
+        }
+        assert got == SK.cms_counters_py(vals)
+
+    def test_one_sided_error_and_exactness_when_sparse(self, spark):
+        # 40 distinct values in 4x256 buckets: collisions possible but
+        # the estimate must NEVER be below the true count (CMS law),
+        # and min-over-rows must equal truth for collision-free keys.
+        vals = [f"v{i}" for i in range(40) for _ in range(i + 1)]
+        df = spark.createDataFrame([(v,) for v in vals], "t string")
+        counters = SK.cms_counters(df, "t")
+        probes = df.distinct()
+        est = {
+            r.t: r.est_cnt
+            for r in SK.cms_estimate(counters, probes, "t").collect()
+        }
+        true = {f"v{i}": i + 1 for i in range(40)}
+        assert set(est) == set(true)
+        assert all(est[k] >= true[k] for k in true)
+        # with 40 keys hashed into 4 independent rows of 256 buckets,
+        # at least one row is collision-free for almost every key —
+        # the aggregate overestimate must be tiny
+        over = sum(est[k] - true[k] for k in true)
+        assert over <= 5, over
+
+    def test_merge_is_sketch_of_concatenation(self, spark):
+        a = spark.createDataFrame(
+            [(f"x{i % 7}",) for i in range(50)], "t string"
+        )
+        b = spark.createDataFrame(
+            [(f"x{i % 11}",) for i in range(80)], "t string"
+        )
+        both = a.unionByName(b)
+        merged = {
+            (r.row, r.bucket): r.cnt
+            for r in SK.cms_merge(
+                SK.cms_counters(a, "t"), SK.cms_counters(b, "t")
+            ).collect()
+        }
+        direct = {
+            (r.row, r.bucket): r.cnt
+            for r in SK.cms_counters(both, "t").collect()
+        }
+        assert merged == direct
+
+    def test_query_overestimate_nonnegative(self, spark):
+        rows = QUERIES["cms_heavy_hitters"].fn(spark, SF_SMALL).collect()
+        assert len(rows) == 20
+        assert all(r.overestimate >= 0 for r in rows)
+        assert all(r.est_cnt >= r.true_cnt for r in rows)
+
+
+class TestDsir:
+    def test_target_language_ranks_first(self, spark):
+        """DSIR's whole point: weighting by the target/raw likelihood
+        ratio must pull target-distribution (en) docs to the top."""
+        rows = QUERIES["dsir_select"].fn(spark, SF_SMALL).collect()
+        assert len(rows) == 20
+        n_en = sum(1 for r in rows if r.lang == "en")
+        assert n_en >= 12, [r.lang for r in rows]
+        # weights sorted descending with doc_id tiebreak
+        ws = [(-r.dsir_weight, r.doc_id) for r in rows]
+        assert ws == sorted(ws)
+
+    def test_weight_sign_separates_planted_vocab(self, spark, tmp_path):
+        # target docs speak 'aa bb', raw-only docs speak 'zz yy':
+        # target-vocab docs must score positive, off-target negative.
+        docs = [
+            (i, "aa bb aa bb", "en", "s", 11) for i in range(20)
+        ] + [(100 + i, "zz yy zz yy", "de", "s", 11) for i in range(20)]
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string,"
+            " source string, n_chars long"
+        ).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        rows = QUERIES["dsir_select"].fn(spark, str(tmp_path)).collect()
+        got = {r.doc_id: r.dsir_weight for r in rows}
+        assert all(w > 0 for d, w in got.items() if d < 100), got
+        # top-20 is entirely the target-vocab block
+        assert set(got) == set(range(20))
+
+
+class TestDustRules:
+    def test_planted_rules_recovered(self, spark):
+        rows = QUERIES["dust_rules"].fn(spark, SF_SMALL).collect()
+        got = {(r.alpha, r.beta): (r.support, r.n_hosts) for r in rows}
+        assert ("", "www.") in got
+        assert {("", f"?sid=s{k}") for k in range(3)} <= set(got)
+        # only the planted families survive the support threshold
+        assert len(got) == 4, got
+        # the www-fold generalizes across all 7 synthetic hosts
+        assert got[("", "www.")][1] == 7
+
+    def test_lcp_lcs_extraction_matches_python(self, spark):
+        def py_rule(a, b):
+            n = min(len(a), len(b))
+            lcp = next(
+                (i for i in range(n) if a[i] != b[i]), n
+            )
+            ra, rb = a[::-1], b[::-1]
+            lcs = next(
+                (i for i in range(n) if ra[i] != rb[i]), n
+            )
+            lcs = min(lcs, n - lcp)
+            return (a[lcp: len(a) - lcs], b[lcp: len(b) - lcs])
+
+        pairs = [
+            ("http://h1.ex/art/5", "http://h1.ex/art/5?sid=s2"),
+            ("http://h1.ex/art/5", "http://www.h1.ex/art/5"),
+            ("http://h1.ex/a/9?x=1", "http://h2.ex/b/9?x=2"),
+            ("abc", "abc"),
+            ("a", "b"),
+        ]
+        df = spark.createDataFrame(pairs, "ua string, ub string")
+        diffed = (
+            df.selectExpr("ua", "ub", "least(length(ua), length(ub)) AS n")
+            .selectExpr(
+                "ua", "ub", "n",
+                "coalesce(try_element_at(filter(sequence(1, n),"
+                " i -> substr(ua, i, 1) <> substr(ub, i, 1)), 1) - 1, n)"
+                " AS lcp",
+                "coalesce(try_element_at(filter(sequence(1, n),"
+                " i -> substr(reverse(ua), i, 1)"
+                " <> substr(reverse(ub), i, 1)), 1) - 1, n) AS lcs_raw",
+            )
+            .selectExpr(
+                "ua", "ub",
+                "substr(ua, lcp + 1, length(ua) - lcp"
+                " - least(lcs_raw, n - lcp)) AS alpha",
+                "substr(ub, lcp + 1, length(ub) - lcp"
+                " - least(lcs_raw, n - lcp)) AS beta",
+            )
+        )
+        got = {(r.ua, r.ub): (r.alpha, r.beta) for r in diffed.collect()}
+        for a, b in pairs:
+            assert got[(a, b)] == py_rule(a, b), (a, b)
+
+
+class TestHyperAnf:
+    def test_estimate_tracks_exact_closure(self, spark):
+        rows = QUERIES["hyperanf_nf"].fn(spark, SF_SMALL).collect()
+        assert [r.t for r in rows] == [0, 1, 2, 3]
+        prev = 0
+        for r in rows:
+            # N(t) is monotone in t
+            assert r.exact_pairs >= prev
+            prev = r.exact_pairs
+            # HyperLogLog with m=32: theoretical rel. std error
+            # 1.04/sqrt(32) ~ 18%; allow 3 sigma on the summed estimate
+            rel = abs(r.est_sum - r.exact_pairs) / r.exact_pairs
+            assert rel < 0.3, (r.t, r.est_sum, r.exact_pairs)
+
+    def test_t0_is_linear_counting_exact(self, spark):
+        # at t=0 every ball is {v}: single register set per node, the
+        # linear-counting branch, which is EXACT for one element
+        rows = QUERIES["hyperanf_nf"].fn(spark, SF_SMALL).collect()
+        r0 = rows[0]
+        n_nodes = r0.exact_pairs  # |{(v,v)}| = node count
+        est_per_node = r0.est_sum / n_nodes
+        # ln(32/31)*32 = 1.0159... per node
+        assert abs(est_per_node - 32 * __import__("math").log(32 / 31.0)) < 1e-6
+
+    def test_register_contract_matches_hll_mirror(self, spark):
+        # node-seeded registers use the same 60-bit md5 contract as
+        # the corpus HLL — cross-check one node by hand
+        h = int(hashlib.md5(b"42").hexdigest()[:15], 16)
+        bucket, w = h % 32, h >> 5
+        # 60-bit hash, p=5 -> 55 remaining bits, rho_max = 56
+        rho = 56 if w == 0 else 56 - w.bit_length()
+        df = spark.createDataFrame([(42,)], "node long")
+        got = df.select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("node").cast("string")), 1, 15),
+                    16, 10,
+                ).cast("long") % 32
+            ).alias("bucket"),
+        ).collect()[0]
+        assert got.bucket == bucket
+        assert 1 <= rho <= 52

@@ -441,6 +441,33 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"HashAggregate", r"Scan ExistingRDD"],
      [r"Join", r"\+- Sort .*global=true",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # CMS: counter aggregate combines map-side (partial_count before
+    # the exchange on the 1024-cell key) and the probe join reads the
+    # sketch as a BROADCAST; top-k probes are TakeOrderedAndProject
+    ("cms_heavy_hitters",
+     [r"partial_count", r"hashpartitioning\(row#\d+", r"BroadcastHashJoin",
+      r"TakeOrderedAndProject"],
+     [r"SortMergeJoin", r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # DSIR: the 512-row log-ratio table joins back as a BROADCAST,
+    # selection is a top-k (never a global sort), bucket counts
+    # partial-aggregate map-side; pure JVM throughout
+    ("dsir_select",
+     [r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_count"],
+     [r"SortMergeJoin", r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # DUST: the pair generator is an EQUI-join on the content digest
+    # (url inequality only as residual condition) — never a cartesian
+    # product — and rule support partial-aggregates map-side
+    ("dust_rules",
+     [r"digest#\d+", r"partial_count"],
+     [r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # HyperANF: the returned plan is a UNION of per-radius aggregates
+    # over the per-round checkpointed register RDDs (lineage cut — the
+    # pagerank_topk lesson), with only 1-row/sketch-sized broadcasts
+    ("hyperanf_nf",
+     [r"Union", r"Scan ExistingRDD"],
+     [r"SortMergeJoin", r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
