@@ -5,6 +5,7 @@ from .jobs import (
     stream_extract,
     stream_fetch_rate,
     stream_frontier_foreachbatch,
+    stream_cms_counters,
     stream_hll_registers,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "stream_extract",
     "stream_fetch_rate",
     "stream_frontier_foreachbatch",
+    "stream_cms_counters",
     "stream_hll_registers",
 ]

@@ -322,3 +322,70 @@ def stream_hll_registers(
             "reg",
         )
     )
+
+
+def stream_cms_counters(
+    docs: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    ts_col: str = "event_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed Count-Min counters over a token stream: per event-time
+    window, the CMS_D x CMS_W frequency counters of the tokens seen —
+    the streaming dual of the batch cms_heavy_hitters query, with the
+    SAME 'i:token' md5 contract, so a window's streaming counters are
+    bit-identical to running operators/sketch.cms_counters over that
+    window's rows (asserted in tests/test_streaming_multimodal.py).
+
+    The streaming-merge law is the sum (not max as for HLL): counts
+    ADD across micro-batches, which is exactly what a partial hash
+    aggregate does incrementally — state per open window is at most
+    CMS_D*CMS_W = 1024 counter rows regardless of stream rate, each
+    window emits once at watermark close (append mode), and emitted
+    windows stay mergeable downstream (hour = sum of minutes) without
+    revisiting the stream. This is how per-token / per-host hit
+    frequencies are tracked live on a crawl frontier whose exact
+    count table would be unbounded state.
+    """
+    from ..operators.sketch import CMS_D, CMS_W
+
+    toks = (
+        docs.withWatermark(ts_col, watermark)
+        .select(
+            ts_col,
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("t"),
+        )
+    )
+    entries = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("t"))), 1, 15
+                    ),
+                    16, 10,
+                ).cast("long") % CMS_W
+            ).alias("bucket"),
+        )
+        for i in range(CMS_D)
+    ])
+    occ = toks.select(ts_col, F.explode(entries).alias("e")).select(
+        ts_col, F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket")
+    )
+    return (
+        occ.groupBy(F.window(ts_col, window).alias("win"), "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "row", "bucket", "cnt",
+        )
+    )

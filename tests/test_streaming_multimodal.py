@@ -575,3 +575,120 @@ class TestStreamHll:
                 )
             ).collect()[0].est
             assert abs(est - exact) / exact < 0.15, (key, est, exact)
+
+
+class TestStreamCms:
+    def test_windowed_counters_match_batch_sketch(self, spark, tmp_path):
+        """Per-window streaming CMS counters must equal the batch
+        sketch over that window's rows — counts SUM across
+        micro-batches (the CMS merge law), state stays sketch-sized,
+        and every probe estimate is >= the window's true count."""
+        import random
+        import time as _time
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        from edgar_crawler_spark.operators import sketch as SK
+        from edgar_crawler_spark.streaming import stream_cms_counters
+
+        src = str(tmp_path / "cms_src")
+        out = str(tmp_path / "cms_out")
+        ckpt = str(tmp_path / "cms_ckpt")
+        schema = "doc_id long, text string, event_ts timestamp"
+
+        def ts(s_):
+            return datetime.fromisoformat(s_)
+
+        rng = random.Random(41)
+
+        def mk_text(n, vocab):
+            return " ".join(f"w{rng.randrange(vocab)}" for _ in range(n))
+
+        # window A rows split across two files/micro-batches — the
+        # cross-batch SUM-merge is what's under test (HLL's analogue
+        # merges by max; a double-count bug would pass a max-merge
+        # test but fail this one); window B; sentinel closes both.
+        rows_a1 = [(i, mk_text(30, 40), ts("2024-01-01 00:00:05"))
+                   for i in range(6)]
+        rows_a2 = [(i + 6, mk_text(30, 40), ts("2024-01-01 00:00:40"))
+                   for i in range(6)]
+        rows_b = [(i + 12, mk_text(20, 25), ts("2024-01-01 00:01:30"))
+                  for i in range(4)]
+        spark.createDataFrame(rows_a1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(2)
+        spark.createDataFrame(
+            rows_a2 + rows_b, schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(2)
+        spark.createDataFrame(
+            [(99, "sentinel", ts("2024-01-01 01:00:00"))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_cms_counters(
+                stream, window="1 minute", watermark="1 minute"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+        got = spark.read.parquet(out)
+
+        wins = {
+            r.win_start.isoformat(): {
+                (x.row, x.bucket): x.cnt
+                for x in got.filter(
+                    F.col("win_start") == r.win_start
+                ).collect()
+            }
+            for r in got.select("win_start").distinct().collect()
+        }
+        assert set(wins) == {"2024-01-01T00:00:00", "2024-01-01T00:01:00"}
+
+        for key, rows in (
+            ("2024-01-01T00:00:00", rows_a1 + rows_a2),
+            ("2024-01-01T00:01:00", rows_b),
+        ):
+            batch = spark.createDataFrame(rows, schema).select(
+                F.explode(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda x: x != "",
+                    )
+                ).alias("t")
+            )
+            expected = {
+                (r.row, r.bucket): r.cnt
+                for r in SK.cms_counters(batch, "t").collect()
+            }
+            assert wins[key] == expected, key
+            # probe law on the emitted window: est >= true, every token
+            counters = spark.createDataFrame(
+                [(r, b, c) for (r, b), c in wins[key].items()],
+                "row int, bucket long, cnt long",
+            )
+            true = {
+                r.t: r.c
+                for r in batch.groupBy("t").agg(
+                    F.count(F.lit(1)).alias("c")
+                ).collect()
+            }
+            est = {
+                r.t: r.est_cnt
+                for r in SK.cms_estimate(
+                    counters, batch.distinct(), "t"
+                ).collect()
+            }
+            assert all(est[t] >= c for t, c in true.items()), key
