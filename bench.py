@@ -91,6 +91,12 @@ HEADLINE = [
     "stratified_weighted_sample",
     "cdx_index_build",
     "kcore_peel",
+    # round 4e: mergeable sketches, importance selection, URL-rule
+    # mining, graph sketching
+    "cms_heavy_hitters",
+    "dsir_select",
+    "dust_rules",
+    "hyperanf_nf",
 ]
 
 

@@ -7085,9 +7085,12 @@ def _oracle_hyperanf_sql() -> str:
     return "WITH" + ",".join(parts) + f" {sel} ORDER BY t"
 
 
-def _anf_row(regs: DataFrame, reach: DataFrame, t: int) -> DataFrame:
+def _anf_row(
+    regs: DataFrame, reach: DataFrame | None, t: int
+) -> DataFrame:
     """One (t, exact_pairs, est_sum) row from a register table and the
-    exact reachability pairs at the same radius."""
+    exact reachability pairs at the same radius (sketch-only when
+    reach is None — the at-scale shape)."""
     m, rmax = _ANF_M, _ANF_RMAX
     term = F.pow(F.lit(2.0), F.lit(rmax) - F.col("reg")).cast("long")
     s = regs.groupBy("node").agg(
@@ -7106,6 +7109,12 @@ def _anf_row(regs: DataFrame, reach: DataFrame, t: int) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
     ).otherwise(raw)
     agg = s.agg(F.round(F.sum(est), 4).alias("est_sum"))
+    if reach is None:
+        return agg.select(
+            F.lit(t).cast("long").alias("t"),
+            F.lit(None).cast("long").alias("exact_pairs"),
+            "est_sum",
+        )
     ex = reach.agg(F.count(F.lit(1)).cast("long").alias("exact_pairs"))
     return ex.crossJoin(F.broadcast(agg)).select(
         F.lit(t).cast("long").alias("t"), "exact_pairs", "est_sum"
@@ -7137,7 +7146,19 @@ def _anf_row(regs: DataFrame, reach: DataFrame, t: int) -> DataFrame:
         "the sketch at toy scale).",
 )
 def q_hyperanf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _event_edges(spark, sf_dir)
+    return hyperanf_rows(spark, sf_dir)
+
+
+def hyperanf_rows(
+    spark: SparkSession, sf_dir: str, mod: int = _PR_MOD,
+    iters: int = _ANF_T, with_exact: bool = True,
+) -> DataFrame:
+    """HyperANF with a parameterizable node space and an optional
+    exact-closure twin. The registered query keeps the exact columns
+    (the verification contract); the 100x probe grows `mod` and drops
+    the closure — the production shape, where only the N*m register
+    state exists and exact_pairs would be O(N^2)."""
+    edges = _event_edges(spark, sf_dir, mod=mod)
     nodes = _event_nodes(edges)
     h = F.conv(
         F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
@@ -7151,11 +7172,13 @@ def q_hyperanf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = hashed.select(
         "node", (F.col("h") % _ANF_M).alias("bucket"), rho.alias("reg")
     ).localCheckpoint(eager=False)
-    reach = nodes.select(
-        F.col("node").alias("v"), F.col("node").alias("u")
-    ).localCheckpoint(eager=False)
+    reach = (
+        nodes.select(F.col("node").alias("v"), F.col("node").alias("u"))
+        .localCheckpoint(eager=False)
+        if with_exact else None
+    )
     rows = [_anf_row(regs, reach, 0)]
-    for t in range(1, _ANF_T + 1):
+    for t in range(1, iters + 1):
         nb = edges.join(
             regs.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "bucket", "reg")
@@ -7165,12 +7188,15 @@ def q_hyperanf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("reg").alias("reg"))
             .localCheckpoint(eager=False)
         )
-        step = reach.join(
-            edges.withColumnRenamed("src", "u"), "u"
-        ).select("v", F.col("dst").alias("u"))
-        reach = (
-            reach.unionByName(step).distinct().localCheckpoint(eager=False)
-        )
+        if with_exact:
+            step = reach.join(
+                edges.withColumnRenamed("src", "u"), "u"
+            ).select("v", F.col("dst").alias("u"))
+            reach = (
+                reach.unionByName(step)
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
         rows.append(_anf_row(regs, reach, t))
     out = rows[0]
     for r in rows[1:]:

@@ -179,6 +179,13 @@ def main() -> None:
         "robots_rules_parse",
         "stratified_weighted_sample",
         "cdx_index_build",
+        # round 4e. cms/dsir: fixed sketch/bucket state (1024 / 512
+        # rows) over a 100x token stream — the mergeable-sketch
+        # scaling claim itself; dust: digest-keyed pair join whose
+        # groups stay constant-size under salted growth
+        "cms_heavy_hitters",
+        "dsir_select",
+        "dust_rules",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:
@@ -247,10 +254,16 @@ def main() -> None:
         trustrank_ranks,
     )
 
+    from edgar_crawler_spark.queries import hyperanf_rows  # noqa: PLC0415
+
     graph = [
         ("pagerank_ranks", pagerank_ranks),
         ("hits_frames", hits_frames),
         ("trustrank_ranks", trustrank_ranks),
+        # sketch-only at scale (with_exact=False): the closure twin is
+        # the toy-scale verification column, O(N^2) by definition
+        ("hyperanf_rows", lambda spark, sf, iters, mod: hyperanf_rows(
+            spark, sf, mod=mod, iters=iters, with_exact=False)),
     ]
     if only:
         graph = [g for g in graph if g[0] in only]
