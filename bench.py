@@ -97,6 +97,8 @@ HEADLINE = [
     "dsir_select",
     "dust_rules",
     "hyperanf_nf",
+    "zipf_slope",
+    "semdedup_prune",
 ]
 
 

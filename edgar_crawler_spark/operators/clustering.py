@@ -88,29 +88,7 @@ def kmeans_fit(
     ).withColumn("pp", dot_col(F.col("emb"), F.col("emb")))
     pts = tracked_cache(pts)  # registry-routed; released in finally too
     try:
-        seed_rows = pts.orderBy("vec_id").limit(k).collect()  # k rows
-        centroids = {
-            i: [_rhu(float(x), 6) for x in r.emb]
-            for i, r in enumerate(seed_rows)
-        }
-        for _ in range(iters):
-            assigned = _assign(pts, centroids)
-            new_rows = (
-                assigned.select("cl", F.posexplode("emb").alias("dim", "v"))
-                .groupBy("cl", "dim")
-                .agg(F.avg("v").alias("v"))
-                .collect()  # k x dim rows — bounded by model size
-            )
-            dim = len(centroids[0])
-            fresh: dict[int, list[float]] = {}
-            for r in new_rows:
-                fresh.setdefault(r.cl, [0.0] * dim)
-            for r in new_rows:
-                fresh[r.cl][r.dim] = _rhu(float(r.v), 6)
-            # an empty cluster keeps its previous centroid
-            centroids = {
-                cl: fresh.get(cl, prev) for cl, prev in centroids.items()
-            }
+        centroids = _fit_loop(pts, k, iters)
         final = _assign(pts, centroids)
         sums = {
             cl: _rhu(_seq_sum(c), 4) for cl, c in centroids.items()
@@ -135,6 +113,102 @@ def kmeans_fit(
         pts.unpersist()
 
 
+def _assign_join(
+    pts: DataFrame, centroids: dict[int, list[float]]
+) -> DataFrame:
+    """Assignment via a BROADCAST centroid-table join — value-
+    identical to _assign (same rounding, same fold order for c.c and
+    the dot product, same lexicographic (d, cl) tie-break via
+    min-over-struct), but linear in k instead of k literals per
+    projection: the literal path stops compiling (janino method-size)
+    around k*dim ~ a few thousand, and SemDeDup-style k grows with N.
+    The centroid table is model-sized (k x dim doubles), so the join
+    never shuffles the points; the per-vector argmin is a map-side-
+    combinable min over the k-fanout."""
+    spark = pts.sparkSession
+    rows = [
+        (cl, [float(x) for x in c], _seq_sum([x * x for x in c]))
+        for cl, c in sorted(centroids.items())
+    ]
+    cdf = spark.createDataFrame(
+        rows, "cl int, cemb array<double>, cc double"
+    )
+    d = F.round(
+        F.col("pp") + F.col("cc") - 2.0 * dot_col(F.col("emb"), F.col("cemb")),
+        4,
+    )
+    best = (
+        pts.join(F.broadcast(cdf))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(d.alias("d"), F.col("cl").alias("cl"))).alias("_b"))
+    )
+    return pts.join(best, "vec_id").select(
+        "vec_id", "emb", "pp",
+        F.col("_b.cl").alias("cl"), F.col("_b.d").alias("d"),
+    )
+
+
+# past this k, prefer the join path (the literal projection's codegen
+# grows as k*dim and falls out of janino's method-size budget)
+ASSIGN_JOIN_K = 16
+
+
+def _fit_loop(
+    pts: DataFrame, k: int, iters: int
+) -> dict[int, list[float]]:
+    """Lloyd rounds over a cached (vec_id, emb, pp) frame: seed from
+    the k lowest ids, per round collect the k x dim averages (model-
+    sized) and re-round under the cross-engine contract."""
+    assign = _assign if k <= ASSIGN_JOIN_K else _assign_join
+    seed_rows = pts.orderBy("vec_id").limit(k).collect()  # k rows
+    centroids = {
+        i: [_rhu(float(x), 6) for x in r.emb]
+        for i, r in enumerate(seed_rows)
+    }
+    for _ in range(iters):
+        assigned = assign(pts, centroids)
+        new_rows = (
+            assigned.select("cl", F.posexplode("emb").alias("dim", "v"))
+            .groupBy("cl", "dim")
+            .agg(F.avg("v").alias("v"))
+            .collect()  # k x dim rows — bounded by model size
+        )
+        dim = len(centroids[0])
+        fresh: dict[int, list[float]] = {}
+        for r in new_rows:
+            fresh.setdefault(r.cl, [0.0] * dim)
+        for r in new_rows:
+            fresh[r.cl][r.dim] = _rhu(float(r.v), 6)
+        # an empty cluster keeps its previous centroid
+        centroids = {
+            cl: fresh.get(cl, prev) for cl, prev in centroids.items()
+        }
+    return centroids
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    *,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final per-vector cluster assignment (vec_id, emb, pp, cl, d)
+    after the same fit as kmeans_fit — the blocking structure
+    SemDeDup-style pruning consumes. Cached via the registry (the
+    caller's harness releases); the same rounding contract makes the
+    assignment reproducible in the SQL oracle."""
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("emb"),
+    ).withColumn("pp", dot_col(F.col("emb"), F.col("emb")))
+    pts = tracked_cache(pts)
+    centroids = _fit_loop(pts, k, iters)
+    assign = _assign if k <= ASSIGN_JOIN_K else _assign_join
+    return assign(pts, centroids)
+
+
 def _seq_sum(xs: list[float]) -> float:
     acc = 0.0
     for x in xs:
@@ -142,11 +216,13 @@ def _seq_sum(xs: list[float]) -> float:
     return acc
 
 
-def oracle_kmeans_sql(
+def oracle_kmeans_assign_ctes(
     k: int = KMEANS_K, iters: int = KMEANS_ITERS
-) -> str:
-    """Unrolled-iteration DuckDB mirror: identical seeding, rounding,
-    and tie-breaks (argmin via min() over [d, cl] lists)."""
+) -> list[str]:
+    """CTE chain ending in xf(vec_id, cl, dd) — the unrolled DuckDB
+    mirror of the fit + final assignment: identical seeding, rounding,
+    and tie-breaks (argmin via min() over [d, cl] lists). Composable:
+    oracle_kmeans_sql and the SemDeDup oracle both build on it."""
     d = (
         "ROUND(p.pp + list_dot_product(c.emb, c.emb)"
         " - 2 * list_dot_product(p.emb, c.emb), 4)"
@@ -182,6 +258,15 @@ def oracle_kmeans_sql(
                   min([{d}, CAST(c.cl AS DOUBLE)]) AS m
            FROM p CROSS JOIN c{fin} c GROUP BY p.vec_id),
     xf AS (SELECT vec_id, CAST(m[2] AS INT) AS cl, m[1] AS dd FROM af)""")
+    return parts
+
+
+def oracle_kmeans_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """Unrolled-iteration DuckDB mirror of kmeans_fit's summary."""
+    parts = oracle_kmeans_assign_ctes(k, iters)
+    fin = iters
     return (
         "WITH" + ",".join(parts) + f"""
     SELECT f.cl AS cluster,

@@ -171,12 +171,28 @@ def hll_registers_py(values: list[str]) -> dict[int, int]:
 CMS_D = 4     # hash rows (delta = e^-4 ~ 1.8%)
 CMS_W = 256   # buckets per row (eps = e/256 ~ 1.1% of stream mass)
 
+# Kirsch-Mitzenmacher double hashing: ONE strong hash per occurrence,
+# row-i bucket = (h1 + i*h2) mod W with h1 = low 30 bits and h2 = high
+# 30 bits forced odd. KM 2006 prove the scheme preserves the
+# asymptotic error bounds of i independent hash functions (stated for
+# Bloom filters; the same argument covers CMS rows). The first cut of
+# this sketch hashed md5("i:" + v) per row — 4 full md5+concat
+# evaluations per occurrence — and the 100x probe clocked it at 39x
+# (209s): the hash, not the aggregate, was the whole bill. One md5 +
+# three adds costs the same as the HLL path and keeps the cross-engine
+# contract (pure integer arithmetic both engines; all intermediates
+# < 2^32, far from BIGINT overflow — which DuckDB raises on and Java
+# silently wraps, so staying small is a correctness matter, not style).
 
-def _cms_bucket(col, i: int) -> Column:
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 15), 16, 10
-    ).cast("long")
-    return (h % CMS_W).alias("bucket")
+
+def _cms_buckets(col) -> Column:
+    """Array of CMS_D bucket ids for one value (KM double hashing)."""
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    h1 = h % F.lit(1 << 30)
+    h2 = F.shiftright(h, 30).bitwiseOR(F.lit(1))
+    return F.array(*[
+        ((h1 + F.lit(i) * h2) % CMS_W) for i in range(CMS_D)
+    ])
 
 
 def cms_counters(values: DataFrame, col: str = "t") -> DataFrame:
@@ -184,12 +200,8 @@ def cms_counters(values: DataFrame, col: str = "t") -> DataFrame:
     stream (with multiplicity). Each occurrence increments one bucket
     per hash row; the groupBy combines map-side, so the shuffled state
     is at most CMS_D x CMS_W rows per partition."""
-    entries = F.array(*[
-        F.struct(F.lit(i).alias("row"), _cms_bucket(F.col(col), i))
-        for i in range(CMS_D)
-    ])
-    occ = values.select(F.explode(entries).alias("e")).select(
-        F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket")
+    occ = values.select(
+        F.posexplode(_cms_buckets(F.col(col))).alias("row", "bucket")
     )
     return occ.groupBy("row", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -210,14 +222,10 @@ def cms_estimate(counters: DataFrame, probes: DataFrame,
     counters it hashes into (absent bucket = 0). `counters` is
     sketch-sized (<= CMS_D*CMS_W rows) and broadcasts; the probe set
     never shuffles on a data-sized key."""
-    entries = F.array(*[
-        F.struct(F.lit(i).alias("row"), _cms_bucket(F.col(col), i))
-        for i in range(CMS_D)
-    ])
     pb = probes.select(
-        F.col(col), F.explode(entries).alias("e")
-    ).select(col, F.col("e.row").alias("row"),
-             F.col("e.bucket").alias("bucket"))
+        F.col(col),
+        F.posexplode(_cms_buckets(F.col(col))).alias("row", "bucket"),
+    )
     joined = pb.join(F.broadcast(counters), ["row", "bucket"], "left")
     return joined.groupBy(col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt")
@@ -230,10 +238,9 @@ def cms_counters_py(values: list[str]) -> dict[tuple[int, int], int]:
 
     cnt: dict[tuple[int, int], int] = {}
     for v in values:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        h1, h2 = h % (1 << 30), (h >> 30) | 1
         for i in range(CMS_D):
-            h = int(
-                hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:15], 16
-            )
-            key = (i, h % CMS_W)
+            key = (i, (h1 + i * h2) % CMS_W)
             cnt[key] = cnt.get(key, 0) + 1
     return cnt

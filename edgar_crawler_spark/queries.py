@@ -6683,18 +6683,23 @@ _CMS_TOPK = 20
                               x -> x <> '')) AS u(t)),
     occ AS (
       SELECT i,
-             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t),
-                                  1, 15)) AS BIGINT) % {{w}} AS bucket
-      FROM toks CROSS JOIN range({{d}}) AS r(i)),
+             ((h % 1073741824) + i * ((h // 1073741824) | 1)) % {{w}}
+               AS bucket
+      FROM (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+            FROM toks)
+      CROSS JOIN range({{d}}) AS r(i)),
     cms AS (SELECT i, bucket, COUNT(*) AS cnt FROM occ GROUP BY i, bucket),
     truec AS (SELECT t, COUNT(*) AS true_cnt FROM toks GROUP BY t),
     topk AS (SELECT t, true_cnt FROM truec
              ORDER BY true_cnt DESC, t LIMIT {{k}}),
     probe AS (
       SELECT t, true_cnt, i,
-             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t),
-                                  1, 15)) AS BIGINT) % {{w}} AS bucket
-      FROM topk CROSS JOIN range({{d}}) AS r(i)),
+             ((h % 1073741824) + i * ((h // 1073741824) | 1)) % {{w}}
+               AS bucket
+      FROM (SELECT t, true_cnt,
+                   CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+            FROM topk)
+      CROSS JOIN range({{d}}) AS r(i)),
     est AS (
       SELECT p.t, p.true_cnt, MIN(COALESCE(c.cnt, 0)) AS est_cnt
       FROM probe p LEFT JOIN cms c ON c.i = p.i AND c.bucket = p.bucket
@@ -6711,8 +6716,9 @@ _CMS_TOPK = 20
         "rows x CMS_W=256 buckets of BIGINT counters, each occurrence "
         "incrementing one bucket per row, point query = min over the "
         "4 counters (one-sided error: never under, over by <= eps*N). "
-        "Hash contract identical cross-engine (60-bit md5 prefix of "
-        "'i:token'), so DuckDB derives bit-identical counters. The "
+        "Row buckets come from Kirsch-Mitzenmacher double hashing of "
+        "ONE 60-bit md5 prefix (h1 + i*h2, h2 odd) — one hash per "
+        "occurrence, bit-identical cross-engine. The "
         "exact per-token counts and the top-20 probe set exist only "
         "to VERIFY the sketch (overestimate >= 0 for every probe, by "
         "construction); production reads the sketch alone. Scale "
@@ -7204,6 +7210,189 @@ def hyperanf_rows(
     return out.orderBy("t")
 
 
+
+# ---------------------------------------------------------------------------
+# Round 4e: Zipf power-law fit
+# ---------------------------------------------------------------------------
+
+_ZIPF_R = 100  # head ranks fitted
+
+
+@query(
+    "zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    freq AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t),
+    ranked AS (
+      SELECT t, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rnk
+      FROM freq QUALIFY rnk <= {_ZIPF_R}),
+    pts AS (SELECT ln(rnk) AS x, ln(cnt) AS y FROM ranked),
+    s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 4) AS intercept
+    FROM s
+    """,
+    doc="Zipf power-law fit over the token frequency head: closed-"
+        "form OLS of ln(freq) on ln(rank) for the top-"
+        f"{_ZIPF_R} tokens — the corpus-health diagnostic (natural "
+        "text sits near slope -1; boilerplate-heavy or synthetic "
+        "corpora flatten, and a drifting slope between crawls flags "
+        "distribution shift, complementing source_kl_drift). Scale "
+        "shape: the frequency table is the one vocabulary-keyed "
+        "aggregate (map-side combined); the head selection is "
+        "TakeOrderedAndProject; the OLS moments reduce the "
+        f"{_ZIPF_R}-row head to a single row — the regression itself "
+        "never sees corpus-sized data, so the plan is identical at "
+        "any corpus size. The row_number window runs on the post-"
+        "limit head (bounded rows), never globally.",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.spread(docs).select(
+        F.explode(D.tokens_col("text")).alias("t")
+    )
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    topr = freq.orderBy(F.desc("cnt"), F.asc("t")).limit(_ZIPF_R)
+    w = W.orderBy(F.desc("cnt"), F.asc("t"))
+    pts = topr.select(
+        F.row_number().over(w).alias("rnk"), "cnt"
+    ).select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
+        .alias("intercept"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Round 4e: SemDeDup-style semantic pruning
+# ---------------------------------------------------------------------------
+
+_SEMD_TAU = 0.3  # fixture-tuned: the synthetic embeddings have no
+                 # planted high-cosine twins, so the demonstration
+                 # threshold sits at the distribution's p90; a real
+                 # corpus uses ~0.95+ (SemDeDup paper)
+
+
+def _oracle_semdedup_sql() -> str:
+    parts = C.oracle_kmeans_assign_ctes()
+    return "WITH" + ",".join(parts) + f""",
+    v AS (SELECT x.vec_id, x.cl, p.emb, sqrt(p.pp) AS nrm
+          FROM xf x JOIN p USING (vec_id)),
+    prs AS (
+      SELECT a.cl, b.vec_id AS j
+      FROM v a JOIN v b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4)
+            >= {_e(_SEMD_TAU)}),
+    pruned AS (SELECT cl, COUNT(DISTINCT j) AS n_pruned FROM prs
+               GROUP BY cl),
+    sz AS (SELECT cl, COUNT(*) AS n_points FROM v GROUP BY cl)
+    SELECT CAST(sz.cl AS INT) AS cluster,
+           CAST(sz.n_points AS BIGINT) AS n_points,
+           CAST(COALESCE(pruned.n_pruned, 0) AS BIGINT) AS n_pruned,
+           CAST(sz.n_points - COALESCE(pruned.n_pruned, 0) AS BIGINT)
+             AS n_kept
+    FROM sz LEFT JOIN pruned ON pruned.cl = sz.cl
+    ORDER BY cluster
+    """
+
+
+@query(
+    "semdedup_prune",
+    oracle=_oracle_semdedup_sql(),
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023): k-means "
+        "clusters are the BLOCKING structure — cosine pairs are only "
+        "ever computed WITHIN a cluster, never across the corpus — "
+        "and a vector is pruned when a lower-id cluster-mate sits "
+        "above the similarity threshold (the paper keeps the vector "
+        "farthest from the centroid; lowest-id is the deterministic "
+        "stand-in, same cardinality). Composes kmeans_assignments "
+        "(identical fit/rounding contract as kmeans_embeddings, "
+        "re-derived by the unrolled SQL oracle) with a cluster-keyed "
+        "self-join. Scale shape: SemDeDup's k grows with N (50k "
+        "clusters in the paper) so the join key is high-cardinality "
+        "in production and per-cluster pair work is (N/k)^2-bounded; "
+        "the toy k=4 is the fixture's knob, not the plan's. Pair "
+        "results reduce immediately to per-cluster counts — vectors "
+        "never leave their cluster partition.",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_counts(spark, sf_dir)
+
+
+def semdedup_counts(
+    spark: SparkSession, sf_dir: str,
+    k: int = C.KMEANS_K, iters: int = C.KMEANS_ITERS,
+    tau: float = _SEMD_TAU,
+) -> DataFrame:
+    """Parameterized SemDeDup: the registered query runs the oracle
+    contract (k=4); the scale probe grows k with N — the paper's own
+    lever (k=50k at LAION scale) — so per-cluster pair work stays
+    (N/k)^2-bounded. k > clustering.ASSIGN_JOIN_K switches assignment
+    to the broadcast-join path (value-identical; literal codegen
+    stops compiling at large k*dim)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = C.kmeans_assignments(emb, k=k, iters=iters)
+    v = tracked_cache(
+        asg.select("vec_id", "cl", "emb", F.sqrt("pp").alias("nrm"))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(
+        S.dot_col(F.col("a.emb"), F.col("b.emb"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    prs = (
+        a.join(
+            b,
+            (F.col("a.cl") == F.col("b.cl"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.cl").alias("cl"), F.col("b.vec_id").alias("j"),
+                cos.alias("cos"))
+        .filter(F.col("cos") >= F.lit(tau))
+    )
+    pruned = prs.groupBy("cl").agg(
+        F.countDistinct("j").alias("n_pruned")
+    )
+    sz = v.groupBy("cl").agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        sz.join(pruned, "cl", "left")
+        .select(
+            F.col("cl").cast("int").alias("cluster"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.coalesce(F.col("n_pruned"), F.lit(0)).cast("long")
+            .alias("n_pruned"),
+            (F.col("n_points") - F.coalesce(F.col("n_pruned"), F.lit(0)))
+            .cast("long").alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -7252,9 +7441,11 @@ _DRIVER_WINDOW_FIRST = [
     # 1c. never driver-certified: round-4e additions (mergeable CMS,
     #     DSIR selection, DUST rule mining, HyperANF) — four more
     #     veterans (dedup_exact, quality_score, lang_agreement,
-    #     fingerprint_prefix) park on their r02-green rows + the
-    #     every-round check_oracles sweep to make room.
+    #     fingerprint_prefix, seed_list_build, dedup_norm_exact) park
+    #     on their r02-green rows + the every-round check_oracles
+    #     sweep to make room.
     "cms_heavy_hitters", "dsir_select", "dust_rules", "hyperanf_nf",
+    "zipf_slope", "semdedup_prune",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
@@ -7272,7 +7463,6 @@ _DRIVER_WINDOW_FIRST = [
     "missing_years", "pricing_summary", "rollup_type_year",
     "recent_per_firm", "keep_last_dedup", "priority_topk",
     "wave_assignment", "sessionize", "union_dedup_merge",
-    "seed_list_build", "dedup_norm_exact",
 ]
 
 

@@ -335,7 +335,7 @@ def stream_cms_counters(
     """Windowed Count-Min counters over a token stream: per event-time
     window, the CMS_D x CMS_W frequency counters of the tokens seen —
     the streaming dual of the batch cms_heavy_hitters query, with the
-    SAME 'i:token' md5 contract, so a window's streaming counters are
+    SAME Kirsch-Mitzenmacher md5 contract, so a window's streaming counters are
     bit-identical to running operators/sketch.cms_counters over that
     window's rows (asserted in tests/test_streaming_multimodal.py).
 
@@ -349,8 +349,6 @@ def stream_cms_counters(
     frequencies are tracked live on a crawl frontier whose exact
     count table would be unbounded state.
     """
-    from ..operators.sketch import CMS_D, CMS_W
-
     toks = (
         docs.withWatermark(ts_col, watermark)
         .select(
@@ -363,22 +361,11 @@ def stream_cms_counters(
             ).alias("t"),
         )
     )
-    entries = F.array(*[
-        F.struct(
-            F.lit(i).alias("row"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{i}:"), F.col("t"))), 1, 15
-                    ),
-                    16, 10,
-                ).cast("long") % CMS_W
-            ).alias("bucket"),
-        )
-        for i in range(CMS_D)
-    ])
-    occ = toks.select(ts_col, F.explode(entries).alias("e")).select(
-        ts_col, F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket")
+    from ..operators.sketch import _cms_buckets
+
+    occ = toks.select(
+        ts_col,
+        F.posexplode(_cms_buckets(F.col("t"))).alias("row", "bucket"),
     )
     return (
         occ.groupBy(F.window(ts_col, window).alias("win"), "row", "bucket")

@@ -208,3 +208,117 @@ class TestHyperAnf:
         ).collect()[0]
         assert got.bucket == bucket
         assert 1 <= rho <= 52
+
+
+class TestZipfSlope:
+    def test_matches_python_ols(self, spark):
+        import math
+        from collections import Counter
+
+        import duckdb
+
+        rows = duckdb.sql(
+            "SELECT lower(text) AS t FROM "
+            f"'{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+        cnt = Counter()
+        for (t,) in rows:
+            cnt.update(w for w in t.split() if w)
+        head = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        pts = [
+            (math.log(r + 1), math.log(c))
+            for r, (_, c) in enumerate(head)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        got = QUERIES["zipf_slope"].fn(spark, SF_SMALL).collect()[0]
+        assert got.n_points == n
+        assert abs(got.slope - slope) < 1e-3
+        # head-rank fit of a frequency table is monotone-decreasing in
+        # rank by construction => slope can never be positive
+        assert got.slope <= 0
+
+
+class TestSemDeDup:
+    def test_planted_twin_is_pruned(self, spark, tmp_path):
+        # four well-separated direction groups (k=4 seeds = lowest
+        # ids) + an exact twin of vector 0: the twin (higher id) must
+        # be pruned, every singleton direction kept.
+        import random
+
+        rng = random.Random(7)
+        dim = 64
+
+        def unit(axis):
+            v = [0.0] * dim
+            v[axis] = 1.0
+            # small deterministic jitter so averages stay generic
+            return [
+                x + 0.01 * rng.random() for x in v
+            ]
+
+        rows = [
+            (0, unit(0), 0),
+            (1, unit(16), 1),
+            (2, unit(32), 2),
+            (3, unit(48), 3),
+            (4, [x for x in unit(0)], 0),   # near-twin of vec 0's axis
+            (5, unit(16), 1),
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(
+            str(tmp_path / "embeddings.parquet")
+        )
+        got = {
+            r.cluster: (r.n_points, r.n_pruned, r.n_kept)
+            for r in QUERIES["semdedup_prune"].fn(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        # conservation law in every cluster
+        assert all(n == p + k for n, p, k in got.values())
+        # the two same-axis twins landed together and one was pruned
+        assert sum(p for _, p, _ in got.values()) >= 2
+        total = sum(n for n, _, _ in got.values())
+        assert total == 6
+
+    def test_conservation_and_determinism_on_fixture(self, spark):
+        r1 = QUERIES["semdedup_prune"].fn(spark, SF_SMALL).collect()
+        r2 = QUERIES["semdedup_prune"].fn(spark, SF_SMALL).collect()
+        assert r1 == r2
+        assert all(r.n_points == r.n_pruned + r.n_kept for r in r1)
+        assert sum(r.n_pruned for r in r1) > 0  # non-trivial at tau
+
+
+class TestAssignJoinPath:
+    def test_join_assignment_equals_literal_path(self, spark):
+        """The broadcast-join assignment (large-k path) must be
+        value-identical to the literal-injection path: same rounding,
+        fold order, and (d, cl) tie-break."""
+        from pyspark.sql import functions as F
+
+        from edgar_crawler_spark.operators import clustering as C
+        from edgar_crawler_spark.tables import load_table
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        pts = emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("emb"),
+        ).withColumn("pp", C.dot_col(F.col("emb"), F.col("emb")))
+        cents = C._fit_loop(pts, 4, 2)
+        lit = {
+            r.vec_id: (r.cl, r.d)
+            for r in C._assign(pts, cents).collect()
+        }
+        jn = {
+            r.vec_id: (r.cl, r.d)
+            for r in C._assign_join(pts, cents).collect()
+        }
+        assert lit == jn

@@ -186,6 +186,13 @@ def main() -> None:
         "cms_heavy_hitters",
         "dsir_select",
         "dust_rules",
+        # zipf: vocabulary-keyed agg + bounded head regression.
+        # semdedup_prune is NOT in this list: at the registered k=4
+        # the within-cluster pair set is (N/4)^2 — ~31G cosines at
+        # 100x, quadratic BY CONSTRUCTION (SemDeDup's whole design is
+        # k growing with N); its scale evidence is the k-policy probe
+        # below, which holds per-cluster size constant.
+        "zipf_slope",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:
@@ -286,6 +293,37 @@ def main() -> None:
         }
         print(f"{name + '@mod20000':28s} {t_small:7.2f}s -> "
               f"{t_big:7.2f}s  x{t_big / t_small:6.2f}", file=sys.stderr)
+
+    # semdedup k-policy probe: per-cluster size held ~constant by
+    # scaling k with N (4 at sf0.1 -> 40 at the 10x replica set from
+    # tools/bench_sf1.py; the 10x decade is the probe because the
+    # POLICY, not the decade, is what is under test). k=40 uses the
+    # broadcast-join assignment (literal codegen caps at k*dim ~ 1k).
+    from edgar_crawler_spark.queries import semdedup_counts  # noqa: PLC0415
+
+    SF1_DST = "/tmp/ecs_sf1"
+    if (not only or "semdedup_prune" in only) and "--policy-only" not in sys.argv:
+        if os.path.exists(SF1_DST):
+            t0 = time.perf_counter()
+            force(semdedup_counts(spark, SRC, k=4))
+            t_small = time.perf_counter() - t0
+            release_caches()
+            t0 = time.perf_counter()
+            force(semdedup_counts(spark, SF1_DST, k=40))
+            t_big = time.perf_counter() - t0
+            release_caches()
+            out["semdedup_prune@kpolicy"] = {
+                "sf0.1_sec": round(t_small, 3),
+                "x10_sec": round(t_big, 3),
+                "ratio": round(t_big / t_small, 2),
+                "k": "4->40 (k scales with N)",
+            }
+            print(f"{'semdedup_prune@kpolicy':28s} {t_small:7.2f}s -> "
+                  f"{t_big:7.2f}s  x{t_big / t_small:6.2f} (10x data)",
+                  file=sys.stderr)
+        else:
+            print("semdedup k-policy probe skipped: run tools/bench_sf1.py"
+                  " first to build /tmp/ecs_sf1", file=sys.stderr)
 
     # k-core: background node space grows with the event count (the
     # rank-builder rule); the planted dense block grows too (60 ->

@@ -468,6 +468,19 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("hyperanf_nf",
      [r"Union", r"Scan ExistingRDD"],
      [r"SortMergeJoin", r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # Zipf: one vocabulary-keyed aggregate (map-side partial), head
+    # via TakeOrderedAndProject; the row_number window runs on the
+    # post-limit bounded head, never a global sort of the vocabulary
+    ("zipf_slope",
+     [r"partial_count", r"TakeOrderedAndProject"],
+     [r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # SemDeDup: pairs only inside a cluster — equi-join on cl with
+    # the id inequality residual, never a cartesian product
+    ("semdedup_prune",
+     [r"partial_count"],
+     [r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
