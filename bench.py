@@ -99,6 +99,11 @@ HEADLINE = [
     "hyperanf_nf",
     "zipf_slope",
     "semdedup_prune",
+    # bowtie_classify is probed (tools/bench_sf10) but not a bench
+    # headline: ~16 tiny BFS-round jobs make it scheduling-latency-
+    # bound (~55s at ANY sf), which would swamp the per-round bench
+    # comparison without measuring a plan
+    "pmi_collocations",
 ]
 
 

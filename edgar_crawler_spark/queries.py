@@ -7393,6 +7393,247 @@ def semdedup_counts(
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Round 4e: bowtie decomposition of the link graph
+# ---------------------------------------------------------------------------
+
+_BOWTIE_D = 8  # closure cap; the mod-200 fixture reaches fixpoint well
+               # inside it, and BOTH engines cap identically
+
+
+def _bowtie_reach(edges: DataFrame, hub: int, reverse: bool) -> DataFrame:
+    """Nodes reachable from `hub` (forward) or reaching it (reverse)
+    within _BOWTIE_D hops — frontier BFS with the per-round
+    localCheckpoint lineage discipline and an empty-frontier early
+    exit (a converged round is the identity in both engines)."""
+    if reverse:
+        edges = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    visited = edges.sparkSession.createDataFrame(
+        [(hub,)], "node long"
+    ).localCheckpoint(eager=False)
+    frontier = visited
+    for _ in range(_BOWTIE_D):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited
+
+
+@query(
+    "bowtie_classify",
+    oracle=f"""
+    WITH RECURSIVE
+    e AS ({_pr_edges_sql()}),
+    -- DISTINCT-over-UNION-ALL, not UNION: under WITH RECURSIVE,
+    -- DuckDB 1.0 executes a non-recursive CTE whose body is a
+    -- top-level UNION as UNION ALL (no dedup) — bfs_reachability's
+    -- oracle masks the same quirk because its seeds feed a recursive
+    -- UNION that dedups anyway
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    hub AS (
+      SELECT src AS node
+      FROM (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
+      ORDER BY deg DESC, src LIMIT 1),
+    fwd(node, depth) AS (
+      SELECT node, 0 FROM hub
+      UNION
+      SELECT e.dst, fwd.depth + 1
+      FROM fwd JOIN e ON e.src = fwd.node
+      WHERE fwd.depth < {_BOWTIE_D}),
+    bwd(node, depth) AS (
+      SELECT node, 0 FROM hub
+      UNION
+      SELECT e.src, bwd.depth + 1
+      FROM bwd JOIN e ON e.dst = bwd.node
+      WHERE bwd.depth < {_BOWTIE_D}),
+    f AS (SELECT DISTINCT node FROM fwd),
+    b AS (SELECT DISTINCT node FROM bwd),
+    cls AS (
+      SELECT n.node,
+             CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL
+                  THEN 'SCC'
+                  WHEN b.node IS NOT NULL THEN 'IN'
+                  WHEN f.node IS NOT NULL THEN 'OUT'
+                  ELSE 'OTHER' END AS part
+      FROM nodes n
+      LEFT JOIN f ON f.node = n.node
+      LEFT JOIN b ON b.node = n.node)
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS node_sum
+    FROM cls GROUP BY part ORDER BY part
+    """,
+    doc="Bowtie decomposition (Broder et al. 2000, 'Graph structure "
+        "in the Web'): classify every node of the link graph as SCC "
+        "(reaches AND is reached by the hub), IN (reaches the hub "
+        "only), OUT (reached only), or OTHER (tendrils/disconnected) "
+        "— THE macroscopic web-graph census, run from the max-out-"
+        "degree hub (ties to the lowest id; membership is identical "
+        "for any hub inside the giant SCC). Two frontier BFS passes "
+        "(forward + reversed edges) with per-round localCheckpoint "
+        "and empty-frontier early exit; classification is two "
+        "node-keyed left joins and one aggregate. At true web scale "
+        "the census is estimated with per-node counters instead of "
+        "exact closures — hyperanf_nf is exactly that machinery; "
+        "this operator is the exact small-graph complement, and the "
+        "node_sum column checksums the membership, not just sizes.",
+)
+def q_bowtie_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bowtie_counts(spark, sf_dir)
+
+
+def bowtie_counts(
+    spark: SparkSession, sf_dir: str, mod: int = _PR_MOD
+) -> DataFrame:
+    """Parameterizable node space: the registered query runs the
+    oracle contract at mod=200; the 100x probe grows mod with the
+    event log (the rank-builder rule — the fixture graph saturates
+    at sf0.1 otherwise)."""
+    edges = _event_edges(spark, sf_dir, mod=mod)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    hub = deg.orderBy(F.desc("deg"), F.asc("src")).limit(1).collect()[0].src
+    fwd = _bowtie_reach(edges, hub, reverse=False)
+    bwd = _bowtie_reach(edges, hub, reverse=True)
+    nodes = _event_nodes(edges)
+    part = (
+        nodes.join(fwd.withColumnRenamed("node", "f"),
+                   nodes.node == F.col("f"), "left")
+        .join(bwd.withColumnRenamed("node", "b"),
+              nodes.node == F.col("b"), "left")
+        .select(
+            "node",
+            F.when(
+                F.col("f").isNotNull() & F.col("b").isNotNull(), "SCC"
+            ).when(F.col("b").isNotNull(), "IN")
+            .when(F.col("f").isNotNull(), "OUT")
+            .otherwise("OTHER").alias("part"),
+        )
+    )
+    return (
+        part.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").alias("node_sum"),
+        )
+        .orderBy("part")
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Round 4e: PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIR = 5
+_PMI_TOPK = 20
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH tk AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    uni AS (
+      SELECT t, COUNT(*) AS c FROM tk, UNNEST(toks) AS u(t) GROUP BY t),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c
+      FROM (SELECT toks[i] AS w1, toks[i+1] AS w2
+            FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i))
+      GROUP BY w1, w2),
+    tot AS (SELECT (SELECT SUM(c) FROM uni) AS t_uni,
+                   (SELECT SUM(c) FROM big) AS t_big)
+    SELECT w1, w2, CAST(big.c AS BIGINT) AS n_pair,
+           ROUND(ln((big.c * 1.0 / tot.t_big)
+                    / ((u1.c * 1.0 / tot.t_uni)
+                       * (u2.c * 1.0 / tot.t_uni))), 4) AS pmi
+    FROM big JOIN uni u1 ON u1.t = big.w1
+             JOIN uni u2 ON u2.t = big.w2, tot
+    WHERE big.c >= {_PMI_MIN_PAIR}
+    ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK}
+    """,
+    doc="Pointwise-mutual-information collocations (Church & Hanks "
+        "1990): top-20 adjacent token pairs by "
+        "ln(p(ab)/(p(a)p(b))) with pair support >= "
+        f"{_PMI_MIN_PAIR} — the association statistic behind "
+        "phrase mining, tokenizer-merge candidates (BPE picks by raw "
+        "pair count — bpe_pair_counts — PMI normalizes away unigram "
+        "frequency), and collocation-aware stopword lists. Scale "
+        "shape: both count tables are vocabulary-keyed map-side-"
+        "combined aggregates; the unigram table joins back on each "
+        "bigram endpoint (token-keyed equi-joins, high-cardinality); "
+        "the 1-row totals broadcast; selection is "
+        "TakeOrderedAndProject. Bigrams are built with the "
+        "NULL-for-short-docs + explode_outer discipline.",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tk = D.spread(docs).select(D.tokens_col("text").alias("toks"))
+    uni = (
+        tk.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs_arr = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+        ),
+    )
+    big = (
+        tk.select(F.explode_outer(pairs_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _PMI_MIN_PAIR)
+    )
+    # totals: t_uni from the unigram table; t_big must count ALL
+    # bigram occurrences (pre-support-filter), which is just
+    # sum(max(n_tokens - 1, 0)) — no need to re-materialize pairs
+    t_big = tk.select(
+        F.greatest(F.size("toks") - 1, F.lit(0)).alias("nb")
+    ).agg(F.sum("nb").alias("t_big"))
+    totals = uni.agg(F.sum("c").alias("t_uni")).crossJoin(
+        F.broadcast(t_big)
+    )
+    joined = (
+        big.join(uni.withColumnRenamed("t", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("t", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c") * 1.0 / F.col("t_big"))
+            / ((F.col("c1") * 1.0 / F.col("t_uni"))
+               * (F.col("c2") * 1.0 / F.col("t_uni")))
+        ),
+        4,
+    )
+    return (
+        joined.select(
+            "w1", "w2",
+            F.col("c").cast("long").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOPK)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -7445,7 +7686,8 @@ _DRIVER_WINDOW_FIRST = [
     #     on their r02-green rows + the every-round check_oracles
     #     sweep to make room.
     "cms_heavy_hitters", "dsir_select", "dust_rules", "hyperanf_nf",
-    "zipf_slope", "semdedup_prune",
+    "zipf_slope", "semdedup_prune", "bowtie_classify",
+    "pmi_collocations",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
@@ -7462,7 +7704,7 @@ _DRIVER_WINDOW_FIRST = [
     #    plus the every-round check_oracles sweep.)
     "missing_years", "pricing_summary", "rollup_type_year",
     "recent_per_firm", "keep_last_dedup", "priority_topk",
-    "wave_assignment", "sessionize", "union_dedup_merge",
+    "wave_assignment",
 ]
 
 

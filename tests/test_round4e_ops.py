@@ -322,3 +322,92 @@ class TestAssignJoinPath:
             for r in C._assign_join(pts, cents).collect()
         }
         assert lit == jn
+
+
+class TestBowtie:
+    def test_matches_python_bfs_census(self, spark):
+        from collections import defaultdict
+
+        from edgar_crawler_spark.queries import _event_edges
+
+        edges = [
+            (r.src, r.dst)
+            for r in _event_edges(spark, SF_SMALL, cache=False).collect()
+        ]
+        fwd_adj, bwd_adj = defaultdict(set), defaultdict(set)
+        deg = defaultdict(int)
+        nodes = set()
+        for s, d in edges:
+            fwd_adj[s].add(d)
+            bwd_adj[d].add(s)
+            deg[s] += 1
+            nodes |= {s, d}
+        hub = min(sorted(deg), key=lambda n: (-deg[n], n))
+
+        def reach(adj, start, cap=8):
+            seen, frontier = {start}, {start}
+            for _ in range(cap):
+                nxt = set()
+                for u in frontier:
+                    nxt |= adj[u] - seen
+                if not nxt:
+                    break
+                seen |= nxt
+                frontier = nxt
+            return seen
+
+        f, b = reach(fwd_adj, hub), reach(bwd_adj, hub)
+        want = defaultdict(lambda: [0, 0])
+        for n in nodes:
+            part = (
+                "SCC" if n in f and n in b
+                else "IN" if n in b
+                else "OUT" if n in f
+                else "OTHER"
+            )
+            want[part][0] += 1
+            want[part][1] += n
+        got = {
+            r.part: [r.n_nodes, r.node_sum]
+            for r in QUERIES["bowtie_classify"].fn(spark, SF_SMALL).collect()
+        }
+        assert got == dict(want)
+        assert sum(v[0] for v in got.values()) == len(nodes)
+
+
+class TestPmi:
+    def test_planted_collocation_ranks_first(self, spark, tmp_path):
+        # 'aa bb' always adjacent; 'cc' and 'dd' frequent but never
+        # paired with each other: PMI must rank (aa, bb) on top.
+        docs = [
+            (i, "aa bb cc " + ("dd " * 3).strip(), "en", "s", 10)
+            for i in range(10)
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string,"
+            " source string, n_chars long"
+        ).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        rows = QUERIES["pmi_collocations"].fn(spark, str(tmp_path)).collect()
+        assert (rows[0].w1, rows[0].w2) == ("aa", "bb")
+
+        # python mirror of every returned PMI value
+        import math
+        from collections import Counter
+
+        toks = [t for _, text, *_ in docs for t in text.split()]
+        uni = Counter(toks)
+        bigs = Counter()
+        for _, text, *_ in docs:
+            ws = text.split()
+            bigs.update(zip(ws, ws[1:]))
+        t_uni, t_big = sum(uni.values()), sum(bigs.values())
+        for r in rows:
+            c = bigs[(r.w1, r.w2)]
+            want = math.log(
+                (c / t_big)
+                / ((uni[r.w1] / t_uni) * (uni[r.w2] / t_uni))
+            )
+            assert abs(r.pmi - want) < 1e-3, (r.w1, r.w2)
+            assert r.n_pair == c

@@ -193,6 +193,8 @@ def main() -> None:
         # k growing with N); its scale evidence is the k-policy probe
         # below, which holds per-cluster size constant.
         "zipf_slope",
+        # pmi: vocabulary-keyed counts + token-keyed joins
+        "pmi_collocations",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:
@@ -261,7 +263,10 @@ def main() -> None:
         trustrank_ranks,
     )
 
-    from edgar_crawler_spark.queries import hyperanf_rows  # noqa: PLC0415
+    from edgar_crawler_spark.queries import (  # noqa: PLC0415
+        bowtie_counts,
+        hyperanf_rows,
+    )
 
     graph = [
         ("pagerank_ranks", pagerank_ranks),
@@ -271,6 +276,8 @@ def main() -> None:
         # the toy-scale verification column, O(N^2) by definition
         ("hyperanf_rows", lambda spark, sf, iters, mod: hyperanf_rows(
             spark, sf, mod=mod, iters=iters, with_exact=False)),
+        ("bowtie_counts", lambda spark, sf, iters, mod: bowtie_counts(
+            spark, sf, mod=mod)),
     ]
     if only:
         graph = [g for g in graph if g[0] in only]

@@ -481,6 +481,18 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"partial_count"],
      [r"CartesianProduct",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # bowtie: final plan aggregates over checkpointed reach sets with
+    # node-keyed classification joins; no global sort, no python
+    ("bowtie_classify",
+     [r"Scan ExistingRDD", r"HashAggregate"],
+     [r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # PMI: vocabulary-keyed count aggregates (map-side partial),
+    # 1-row totals broadcast, top-k via TakeOrderedAndProject
+    ("pmi_collocations",
+     [r"partial_count", r"TakeOrderedAndProject"],
+     [r"CartesianProduct\b.*\n.*Scan parquet",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
