@@ -104,6 +104,7 @@ HEADLINE = [
     # bound (~55s at ANY sf), which would swamp the per-round bench
     # comparison without measuring a plan
     "pmi_collocations",
+    "moments_quantiles",
 ]
 
 

@@ -244,3 +244,65 @@ def cms_counters_py(values: list[str]) -> dict[tuple[int, int], int]:
             key = (i, (h1 + i * h2) % CMS_W)
             cnt[key] = cnt.get(key, 0) + 1
     return cnt
+
+
+# ---------------------------------------------------------------------------
+# Moments sketch (Gan et al., VLDB 2018): mergeable quantile summaries.
+# The third mergeable family beside HLL (distinct) and CMS (frequency):
+# state per group is the power sums (n, Sx, Sx2, Sx3) of the
+# LOG-transformed value — the paper's variant for long-tailed data,
+# which also keeps every intermediate O(10^1) so double arithmetic is
+# far from the 2^53 exactness cliff (raw char-count 4th powers are not).
+# Power sums ADD across partitions/shards/days; quantiles come out of
+# the moments via a Cornish-Fisher expansion (z + (z^2-1)*skew/6),
+# back-transformed with exp. The paper solves a maximum-entropy
+# problem instead; Cornish-Fisher is the closed-form deterministic
+# stand-in that keeps the cross-engine contract trivial.
+# ---------------------------------------------------------------------------
+
+Z90 = 1.2815515655446004  # Phi^-1(0.9), scipy.stats.norm.ppf reference
+
+
+def moment_sums_by(
+    values: DataFrame, group_cols: list[str], col: str = "x"
+) -> DataFrame:
+    """Per-group power sums of ln(1+value): (n, s1, s2, s3) — the
+    whole mergeable state, 4 doubles per group."""
+    x = F.log(F.lit(1.0) + F.col(col))
+    return values.select(*group_cols, x.alias("_x")).groupBy(
+        *group_cols
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("s1"),
+        F.sum(F.col("_x") * F.col("_x")).alias("s2"),
+        F.sum(F.col("_x") * F.col("_x") * F.col("_x")).alias("s3"),
+    )
+
+
+def moment_merge(*sum_sets: DataFrame) -> DataFrame:
+    """Elementwise sums — the sketch of the union of the datasets."""
+    out = sum_sets[0]
+    for s in sum_sets[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("n", "s1", "s2", "s3")]
+    return out.groupBy(*keys).agg(
+        F.sum("n").alias("n"), F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"), F.sum("s3").alias("s3"),
+    )
+
+
+def moment_quantile_cols(z: float) -> "Column":
+    """Cornish-Fisher quantile of the ORIGINAL value from log-moments
+    columns (n, s1, s2, s3): exp(mu + sigma*(z + (z^2-1)*skew/6)) - 1.
+    Callers round; identical arithmetic runs in the SQL oracle."""
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3") / F.col("n")
+        - F.lit(3.0) * mu * (F.col("s2") / F.col("n"))
+        + F.lit(2.0) * mu * mu * mu
+    )
+    sd = F.sqrt(m2)
+    skew = m3 / (sd * sd * sd)
+    zc = F.lit(z) + (F.lit(z * z) - F.lit(1.0)) * skew / F.lit(6.0)
+    return F.exp(mu + sd * zc) - F.lit(1.0)

@@ -7634,6 +7634,100 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Round 4e: moments-sketch quantiles
+# ---------------------------------------------------------------------------
+
+
+_MQ_Z90 = format(1.2815515655446004, ".20e")  # Phi^-1(0.9)
+
+
+@query(
+    "moments_quantiles",
+    oracle=f"""
+    WITH x AS (SELECT source, ln(1 + n_chars) AS x, n_chars
+               FROM documents),
+    s AS (
+      SELECT source, COUNT(*) AS n, SUM(x) AS s1, SUM(x*x) AS s2,
+             SUM(x*x*x) AS s3,
+             quantile_cont(n_chars, 0.5) AS q50,
+             quantile_cont(n_chars, 0.9) AS q90
+      FROM x GROUP BY source),
+    m AS (
+      SELECT source, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             q50, q90
+      FROM s)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           ROUND(mu, 4) AS mean_log,
+           ROUND(sqrt(m2), 4) AS std_log,
+           ROUND(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 4) AS skew_log,
+           ROUND(exp(mu + sqrt(m2)
+                     * (0e0 + (0e0 - 1) * (m3 / (sqrt(m2) * sqrt(m2)
+                        * sqrt(m2))) / 6)) - 1, 4) AS p50_est,
+           ROUND(exp(mu + sqrt(m2)
+                     * ({_MQ_Z90} + ({_MQ_Z90} * {_MQ_Z90} - 1)
+                        * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))) / 6))
+                 - 1, 4) AS p90_est,
+           ROUND(q50, 4) AS p50_exact,
+           ROUND(q90, 4) AS p90_exact
+    FROM m ORDER BY source
+    """,
+    doc="Moments-sketch quantiles (Gan et al. VLDB 2018): per-source "
+        "length distribution summarized by the power sums of "
+        "ln(1+n_chars) — FOUR doubles of mergeable state per group "
+        "(sums add across partitions/shards/days), the third "
+        "mergeable-sketch family beside hll_* (distinct) and cms_* "
+        "(frequency). Quantiles come back out via a Cornish-Fisher "
+        "expansion (the paper's maxent solve replaced by the closed "
+        "form so both engines run identical arithmetic); the exact "
+        "interpolated quantiles ride along as verification columns "
+        "— at 100 TB only the 4-double state exists, exact "
+        "quantiles being precisely the per-group sort the sketch "
+        "avoids. Log-moments keep every intermediate O(10), far "
+        "from the 2^53 double-exactness cliff that raw char-count "
+        "4th powers would cross. operators/sketch.py:moment_sums_by.",
+)
+def q_moments_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sums = SK.moment_sums_by(docs, ["source"], "n_chars")
+    exact = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5d)").alias("q50"),
+        F.expr("percentile(n_chars, 0.9d)").alias("q90"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    sd = F.sqrt(m2)
+    m3 = (
+        F.col("s3") / F.col("n")
+        - F.lit(3.0) * mu * (F.col("s2") / F.col("n"))
+        + F.lit(2.0) * mu * mu * mu
+    )
+    skew = m3 / (sd * sd * sd)
+    return (
+        sums.join(F.broadcast(exact), "source")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(mu, 4).alias("mean_log"),
+            F.round(sd, 4).alias("std_log"),
+            F.round(skew, 4).alias("skew_log"),
+            F.round(
+                SK.moment_quantile_cols(0.0), 4
+            ).alias("p50_est"),
+            F.round(
+                SK.moment_quantile_cols(SK.Z90), 4
+            ).alias("p90_est"),
+            F.round(F.col("q50"), 4).alias("p50_exact"),
+            F.round(F.col("q90"), 4).alias("p90_exact"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -7687,7 +7781,7 @@ _DRIVER_WINDOW_FIRST = [
     #     sweep to make room.
     "cms_heavy_hitters", "dsir_select", "dust_rules", "hyperanf_nf",
     "zipf_slope", "semdedup_prune", "bowtie_classify",
-    "pmi_collocations",
+    "pmi_collocations", "moments_quantiles",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
@@ -7704,7 +7798,6 @@ _DRIVER_WINDOW_FIRST = [
     #    plus the every-round check_oracles sweep.)
     "missing_years", "pricing_summary", "rollup_type_year",
     "recent_per_firm", "keep_last_dedup", "priority_topk",
-    "wave_assignment",
 ]
 
 

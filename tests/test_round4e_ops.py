@@ -411,3 +411,41 @@ class TestPmi:
             )
             assert abs(r.pmi - want) < 1e-3, (r.w1, r.w2)
             assert r.n_pair == c
+
+
+class TestMomentsSketch:
+    def test_merge_law_and_mirror(self, spark):
+        """Power sums of a union must equal the merged per-part sums
+        (to double tolerance — addition order differs), and both must
+        match a python mirror."""
+        import math
+
+        a = spark.createDataFrame(
+            [("s", float(v)) for v in range(1, 40)], "g string, x double"
+        )
+        b = spark.createDataFrame(
+            [("s", float(v * 3)) for v in range(1, 25)], "g string, x double"
+        )
+        direct = SK.moment_sums_by(a.unionByName(b), ["g"], "x").collect()[0]
+        merged = SK.moment_merge(
+            SK.moment_sums_by(a, ["g"], "x"),
+            SK.moment_sums_by(b, ["g"], "x"),
+        ).collect()[0]
+        xs = [math.log(1 + v) for v in range(1, 40)] + [
+            math.log(1 + v * 3) for v in range(1, 25)
+        ]
+        want = (len(xs), sum(xs), sum(x * x for x in xs),
+                sum(x ** 3 for x in xs))
+        for got in (direct, merged):
+            assert got.n == want[0]
+            for g, w in zip((got.s1, got.s2, got.s3), want[1:]):
+                assert abs(g - w) < 1e-9 * abs(w)
+
+    def test_estimates_track_exact_quantiles(self, spark):
+        rows = QUERIES["moments_quantiles"].fn(spark, SF_SMALL).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert abs(r.p50_est - r.p50_exact) / r.p50_exact < 0.3, r
+            assert abs(r.p90_est - r.p90_exact) / r.p90_exact < 0.3, r
+            # conservation: the sketch columns are consistent
+            assert r.n_docs > 0 and r.std_log > 0

@@ -193,8 +193,10 @@ def main() -> None:
         # k growing with N); its scale evidence is the k-policy probe
         # below, which holds per-cluster size constant.
         "zipf_slope",
-        # pmi: vocabulary-keyed counts + token-keyed joins
+        # pmi: vocabulary-keyed counts + token-keyed joins;
+        # moments: 4-double state per source
         "pmi_collocations",
+        "moments_quantiles",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:

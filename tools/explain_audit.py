@@ -493,6 +493,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"partial_count", r"TakeOrderedAndProject"],
      [r"CartesianProduct\b.*\n.*Scan parquet",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # moments: ONE source-keyed aggregate carries the whole sketch
+    # (partial sums map-side); exact-quantile verification joins as a
+    # broadcast; no global sort, no python
+    ("moments_quantiles",
+     [r"partial_sum", r"BroadcastHashJoin"],
+     [r"SortMergeJoin", r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
