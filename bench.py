@@ -105,6 +105,7 @@ HEADLINE = [
     # comparison without measuring a plan
     "pmi_collocations",
     "moments_quantiles",
+    "bloom_decontaminate",
 ]
 
 

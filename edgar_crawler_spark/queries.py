@@ -7728,6 +7728,191 @@ def q_moments_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Round 4e: broadcast-bloom decontamination
+# ---------------------------------------------------------------------------
+
+_BD_M = 1 << 20  # bloom bits: 128 KB of filter — at the fixture's
+                 # ~7.5k eval shingles the fill ratio is ~2%, so the
+                 # false-positive rate (fill^k ~ 1e-5) sits far below
+                 # the true-hit rate and the false_pos column measures
+                 # rare events, not noise (2^16 drowned the true hits
+                 # at ~3% FP/shingle — measured, then raised)
+_BD_K = 3      # probes per shingle (KM double hashing)
+_BD_N = 4      # shingle width: the fixture corpus has zero 5-gram
+               # overlap across the split (measured — a 5-gram bloom
+               # query would be a trivially-empty green, the
+               # missing_firms anti-pattern) and near-total 3-gram
+               # overlap; 4 grams give a sparse, real hit set
+               # (42 hits / 40 docs at sf0.001)
+_BD_TOPK = 20
+
+
+@query(
+    "bloom_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 100 AS pct,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id, pct,
+             list_distinct([md5(array_to_string(w[i:i+{_BD_N - 1}], ' '))
+                            for i in generate_series(
+                                1, len(w) - {_BD_N - 1})]) AS shs
+      FROM toks WHERE len(w) >= {_BD_N}),
+    ev AS (SELECT DISTINCT s FROM sh, UNNEST(shs) AS u(s)
+           WHERE pct >= 95),
+    bits AS (
+      SELECT DISTINCT
+             ((h % 1073741824) + i * ((h // 1073741824) | 1)) % {_BD_M} AS b
+      FROM (SELECT CAST(('0x' || substr(s, 1, 15)) AS BIGINT) AS h FROM ev)
+      CROSS JOIN range({_BD_K}) r(i)),
+    tr AS (SELECT DISTINCT doc_id, s FROM sh, UNNEST(shs) AS u(s)
+           WHERE pct < 90),
+    trp AS (
+      SELECT doc_id, s, i,
+             ((h % 1073741824) + i * ((h // 1073741824) | 1)) % {_BD_M} AS b
+      FROM (SELECT doc_id, s,
+                   CAST(('0x' || substr(s, 1, 15)) AS BIGINT) AS h FROM tr)
+      CROSS JOIN range({_BD_K}) r(i)),
+    bl AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, COUNT(*) AS k_set
+        FROM trp JOIN bits USING (b) GROUP BY doc_id, s)
+      WHERE k_set = {_BD_K}),
+    ex AS (SELECT t.doc_id, t.s FROM tr t JOIN ev USING (s)),
+    agg AS (
+      SELECT tr.doc_id,
+             COUNT(*) AS n_shingles,
+             COUNT(bl.s) AS bloom_hits,
+             COUNT(ex.s) AS exact_hits
+      FROM tr
+      LEFT JOIN bl ON bl.doc_id = tr.doc_id AND bl.s = tr.s
+      LEFT JOIN ex ON ex.doc_id = tr.doc_id AND ex.s = tr.s
+      GROUP BY tr.doc_id)
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(bloom_hits AS BIGINT) AS bloom_hits,
+           CAST(exact_hits AS BIGINT) AS exact_hits,
+           CAST(bloom_hits - exact_hits AS BIGINT) AS false_pos
+    FROM agg WHERE bloom_hits > 0
+    ORDER BY bloom_hits DESC, doc_id LIMIT {_BD_TOPK}
+    """,
+    doc="Benchmark decontamination via a BROADCAST bloom filter — the "
+        "completion of ngram_contamination's documented swap ('the "
+        "train shingle set can be swapped for a bloom filter'): the "
+        f"eval split's distinct {_CONTAM_N}-gram shingles set "
+        f"{_BD_K} bits each (KM double hashing off the shingle's own "
+        f"md5) in a {_BD_M}-bit filter, and TRAINING docs are flagged "
+        "when a shingle finds all its bits set — a one-sided test "
+        "(no false negatives), with the exact shingle join riding "
+        "along so false_pos is measured, not assumed (the 2^16 / "
+        "5-gram first cut measured 3% FP noise / zero true hits and "
+        "was re-tuned, not shipped). This is the "
+        "survey §7.3 bloom-pre-filter idea expressed in the "
+        "DataFrame API (a Catalyst-injected rule needs JVM code; "
+        "the broadcast join on the bit table is the same dataflow): "
+        "at 100 TB the filter is KBs broadcast to every scan task "
+        "and the training corpus is never shuffled against the eval "
+        "set — only the (tiny) surviving candidates reach the exact "
+        "verification join. Same split rule and hashed-shingle "
+        "contract as ngram_contamination.",
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pct = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"),
+                               F.col("doc_id").cast("string"))), 1, 8
+            ), 16, 10,
+        ).cast("long") % 100
+    )
+    w = D.tokens_col("text")
+    shs = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(w) - {_BD_N - 1}),"
+            f" i -> md5(array_join(slice(w, i, {_BD_N}), ' ')))"
+        )
+    )
+    sh = (
+        D.spread(docs)
+        .select("doc_id", pct.alias("pct"), w.alias("w"))
+        .filter(F.size("w") >= _BD_N)
+        .select("doc_id", "pct", shs.alias("shs"))
+    )
+    sh = tracked_cache(sh)
+    ev = (
+        sh.filter(F.col("pct") >= 95)
+        .select(F.explode("shs").alias("s"))
+        .distinct()
+    )
+    ev = tracked_cache(ev)
+    h = F.conv(F.substring(F.col("s"), 1, 15), 16, 10).cast("long")
+    h1 = F.col("h") % F.lit(1 << 30)
+    h2 = F.shiftright(F.col("h"), 30).bitwiseOR(F.lit(1))
+    pos = F.array(*[(h1 + F.lit(i) * h2) % _BD_M for i in range(_BD_K)])
+    bits = (
+        ev.select(h.alias("h"))
+        .select(F.explode(pos).alias("b"))
+        .distinct()
+    )
+    tr = (
+        sh.filter(F.col("pct") < 90)
+        .select("doc_id", F.explode("shs").alias("s"))
+        .distinct()
+    )
+    tr = tracked_cache(tr)
+    trp = tr.select("doc_id", "s", h.alias("h")).select(
+        "doc_id", "s", F.posexplode(pos).alias("i", "b")
+    )
+    bl = (
+        trp.join(F.broadcast(bits), "b")
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("k_set"))
+        .filter(F.col("k_set") == _BD_K)
+        .select(F.col("doc_id").alias("bdoc"), F.col("s").alias("bs"))
+    )
+    ex = tr.join(ev, "s").select(
+        F.col("doc_id").alias("edoc"), F.col("s").alias("es")
+    )
+    agg = (
+        tr.join(
+            bl,
+            (F.col("doc_id") == F.col("bdoc")) & (F.col("s") == F.col("bs")),
+            "left",
+        )
+        .join(
+            ex,
+            (F.col("doc_id") == F.col("edoc")) & (F.col("s") == F.col("es")),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("bs").alias("bloom_hits"),
+            F.count("es").alias("exact_hits"),
+        )
+    )
+    return (
+        agg.filter(F.col("bloom_hits") > 0)
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("bloom_hits").cast("long").alias("bloom_hits"),
+            F.col("exact_hits").cast("long").alias("exact_hits"),
+            (F.col("bloom_hits") - F.col("exact_hits")).cast("long")
+            .alias("false_pos"),
+        )
+        .orderBy(F.desc("bloom_hits"), F.asc("doc_id"))
+        .limit(_BD_TOPK)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -7781,7 +7966,7 @@ _DRIVER_WINDOW_FIRST = [
     #     sweep to make room.
     "cms_heavy_hitters", "dsir_select", "dust_rules", "hyperanf_nf",
     "zipf_slope", "semdedup_prune", "bowtie_classify",
-    "pmi_collocations", "moments_quantiles",
+    "pmi_collocations", "moments_quantiles", "bloom_decontaminate",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
@@ -7797,7 +7982,7 @@ _DRIVER_WINDOW_FIRST = [
     #    test_dedup_similarity.py / test_analytics_properties.py —
     #    plus the every-round check_oracles sweep.)
     "missing_years", "pricing_summary", "rollup_type_year",
-    "recent_per_firm", "keep_last_dedup", "priority_topk",
+    "recent_per_firm", "keep_last_dedup",
 ]
 
 

@@ -7,6 +7,7 @@ from .jobs import (
     stream_frontier_foreachbatch,
     stream_cms_counters,
     stream_hll_registers,
+    stream_moment_sums,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "stream_frontier_foreachbatch",
     "stream_cms_counters",
     "stream_hll_registers",
+    "stream_moment_sums",
 ]

@@ -376,3 +376,38 @@ def stream_cms_counters(
             "row", "bucket", "cnt",
         )
     )
+
+
+def stream_moment_sums(
+    docs: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    ts_col: str = "event_ts",
+    val_col: str = "n_chars",
+) -> DataFrame:
+    """Windowed moments sketch over a value stream: per event-time
+    window, the power sums (n, s1, s2, s3) of ln(1+value) — the
+    streaming dual of the batch moments_quantiles sketch, merged
+    across micro-batches by SUM like the CMS twin (the mergeable-sum
+    family), with per-open-window state of exactly four doubles +
+    one count. Emitted windows stay mergeable downstream (hour =
+    elementwise sum of minutes); quantiles are recovered from any
+    merge level with operators/sketch.moment_quantile_cols."""
+    x = F.log(F.lit(1.0) + F.col(val_col))
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .select(ts_col, x.alias("_x"))
+        .groupBy(F.window(ts_col, window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_x").alias("s1"),
+            F.sum(F.col("_x") * F.col("_x")).alias("s2"),
+            F.sum(F.col("_x") * F.col("_x") * F.col("_x")).alias("s3"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n", "s1", "s2", "s3",
+        )
+    )

@@ -449,3 +449,23 @@ class TestMomentsSketch:
             assert abs(r.p90_est - r.p90_exact) / r.p90_exact < 0.3, r
             # conservation: the sketch columns are consistent
             assert r.n_docs > 0 and r.std_log > 0
+
+
+class TestBloomDecontaminate:
+    def test_one_sided_and_false_pos_measured(self, spark):
+        rows = QUERIES["bloom_decontaminate"].fn(spark, SF_SMALL).collect()
+        assert rows, "fixture must produce contaminated training docs"
+        for r in rows:
+            # bloom can only over-approximate the exact hit set
+            assert r.bloom_hits >= r.exact_hits
+            assert r.false_pos == r.bloom_hits - r.exact_hits
+            assert r.bloom_hits <= r.n_shingles
+        # the fixture's real contamination must be found (not only FPs)
+        assert sum(r.exact_hits for r in rows) > 0
+
+    def test_no_false_negatives_by_construction(self, spark):
+        """Every exact hit must also be a bloom hit — the one-sided
+        guarantee that makes the filter a safe pre-filter."""
+        rows = QUERIES["bloom_decontaminate"].fn(spark, SF_SMALL).collect()
+        # if a doc had exact_hits > bloom_hits the invariant is broken
+        assert all(r.exact_hits <= r.bloom_hits for r in rows)

@@ -692,3 +692,78 @@ class TestStreamCms:
                 ).collect()
             }
             assert all(est[t] >= c for t, c in true.items()), key
+
+
+class TestStreamMoments:
+    def test_windowed_sums_match_batch_sketch(self, spark, tmp_path):
+        """Per-window streaming power sums must equal the batch
+        moments sketch over that window's rows (sum-merge across
+        micro-batches, double tolerance for addition order)."""
+        import time as _time
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        from edgar_crawler_spark.operators import sketch as SK
+        from edgar_crawler_spark.streaming import stream_moment_sums
+
+        src = str(tmp_path / "mq_src")
+        out = str(tmp_path / "mq_out")
+        ckpt = str(tmp_path / "mq_ckpt")
+        schema = "doc_id long, n_chars long, event_ts timestamp"
+
+        def ts(s_):
+            return datetime.fromisoformat(s_)
+
+        rows_a1 = [(i, 100 + 13 * i, ts("2024-01-01 00:00:05"))
+                   for i in range(7)]
+        rows_a2 = [(i + 7, 500 + 7 * i, ts("2024-01-01 00:00:40"))
+                   for i in range(7)]
+        rows_b = [(i + 14, 80 + i, ts("2024-01-01 00:01:30"))
+                  for i in range(5)]
+        spark.createDataFrame(rows_a1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(2)
+        spark.createDataFrame(
+            rows_a2 + rows_b, schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(2)
+        spark.createDataFrame(
+            [(99, 1, ts("2024-01-01 01:00:00"))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_moment_sums(
+                stream, window="1 minute", watermark="1 minute"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+        got = {
+            r.win_start.isoformat(): (r.n, r.s1, r.s2, r.s3)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert set(got) == {"2024-01-01T00:00:00", "2024-01-01T00:01:00"}
+        for key, rows in (
+            ("2024-01-01T00:00:00", rows_a1 + rows_a2),
+            ("2024-01-01T00:01:00", rows_b),
+        ):
+            batch = spark.createDataFrame(rows, schema).withColumn(
+                "g", F.lit("w")
+            )
+            want = SK.moment_sums_by(batch, ["g"], "n_chars").collect()[0]
+            g = got[key]
+            assert g[0] == want.n
+            for a, b in zip(g[1:], (want.s1, want.s2, want.s3)):
+                assert abs(a - b) < 1e-9 * max(1.0, abs(b)), key

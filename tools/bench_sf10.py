@@ -197,6 +197,9 @@ def main() -> None:
         # moments: 4-double state per source
         "pmi_collocations",
         "moments_quantiles",
+        # bloom decontamination: KB filter broadcast; candidate set,
+        # not the corpus, reaches the exact join
+        "bloom_decontaminate",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:

@@ -500,6 +500,11 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"partial_sum", r"BroadcastHashJoin"],
      [r"SortMergeJoin", r"\+- Sort .*global=true",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # bloom decontamination: the bit table joins as a BROADCAST (the
+    # pre-filter), candidates verify afterwards; top-k, no python
+    ("bloom_decontaminate",
+     [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
