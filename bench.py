@@ -106,6 +106,7 @@ HEADLINE = [
     "pmi_collocations",
     "moments_quantiles",
     "bloom_decontaminate",
+    "robots_rfc_match",
 ]
 
 

@@ -7913,6 +7913,154 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Round 4e: RFC 9309 wildcard robots matching
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "robots_rfc_match",
+    oracle="""
+    WITH urls AS (
+      SELECT DISTINCT 'h' || CAST(user_id % 7 AS VARCHAR) AS host, path
+      FROM events, UNNEST([
+        '/private/sec' || CAST(event_id % 50 AS VARCHAR),
+        '/private/public' || CAST(event_id % 20 AS VARCHAR),
+        '/doc' || CAST(event_id % 30 AS VARCHAR) || '.pdf',
+        '/doc' || CAST(event_id % 30 AS VARCHAR) || '.pdfx',
+        '/site/p' || CAST(event_id % 40 AS VARCHAR)
+      ]) AS u(path)),
+    hosts AS (SELECT DISTINCT host FROM urls),
+    rules AS (
+      SELECT host, '/private/*' AS pattern, false AS allow FROM hosts
+      UNION ALL SELECT host, '/private/public*', true FROM hosts
+      UNION ALL SELECT host, '/*.pdf$', false FROM hosts
+      UNION ALL SELECT host, '/', true FROM hosts
+      UNION ALL SELECT host, '/site/*$', false FROM hosts
+      WHERE CAST(substr(host, 2) AS INT) % 2 = 0),
+    rx AS (
+      SELECT host, pattern, allow,
+             length(pattern) AS plen,
+             '^' || replace(replace(
+                 CASE WHEN pattern LIKE '%$'
+                      THEN substr(pattern, 1, length(pattern) - 1)
+                      ELSE pattern END, '.', '\\.'), '*', '.*')
+               || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rxp
+      FROM rules),
+    m AS (
+      SELECT u.host AS mh, u.path AS mp, r.pattern, r.allow, r.plen,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.host, u.path
+               ORDER BY r.plen DESC,
+                        CASE WHEN r.allow THEN 0 ELSE 1 END,
+                        r.pattern) AS rn
+      FROM urls u JOIN rx r
+        ON u.host = r.host AND regexp_matches(u.path, r.rxp)),
+    v AS (SELECT mh, mp, pattern, allow FROM m WHERE rn = 1)
+    SELECT u.host, u.path,
+           COALESCE(v.allow, true) AS allowed,
+           v.pattern AS rule
+    FROM urls u LEFT JOIN v ON v.mh = u.host AND v.mp = u.path
+    """,
+    doc="RFC 9309 (Robots Exclusion Protocol) WILDCARD rule "
+        "evaluation — the modern spec the prefix-only matchers "
+        "(robots_prefix_match / robots_rules_parse) predate: '*' "
+        "matches any octet sequence, '$' anchors the path end, the "
+        "MOST SPECIFIC (longest) matching rule wins, and an "
+        "allow/disallow tie at equal length resolves to allow — all "
+        "four behaviors planted in the deterministic rule set "
+        "(/private/* overridden by the longer /private/public*, "
+        "/*.pdf$ blocking .pdf but not .pdfx, an even-host-only "
+        "/site/*$). Patterns compile to anchored regexes by pure "
+        "string rewriting (escape '.', '*'->'.*', '$'->anchor) "
+        "identically in both engines — the pattern alphabet is "
+        "closed over chars whose regex meaning Java and RE2 agree "
+        "on. Scale shape: the rule table is a per-host dim that "
+        "BROADCASTS (a real crawl holds ~tens of rules x millions "
+        "of hosts — still dim-sized next to the URL stream); "
+        "longest-match is a rank window on the (host, path) key; "
+        "unmatched URLs default to allowed via the left join.",
+)
+def q_robots_rfc_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string"))
+    eid = F.col("event_id")
+    paths = F.array(
+        F.concat(F.lit("/private/sec"), (eid % 50).cast("string")),
+        F.concat(F.lit("/private/public"), (eid % 20).cast("string")),
+        F.concat(F.lit("/doc"), (eid % 30).cast("string"), F.lit(".pdf")),
+        F.concat(F.lit("/doc"), (eid % 30).cast("string"), F.lit(".pdfx")),
+        F.concat(F.lit("/site/p"), (eid % 40).cast("string")),
+    )
+    urls = (
+        D.spread(ev)
+        .select(host.alias("host"), F.explode(paths).alias("path"))
+        .distinct()
+    )
+    urls = tracked_cache(urls)
+    hosts = urls.select("host").distinct()
+    base = [
+        ("/private/*", False), ("/private/public*", True),
+        ("/*.pdf$", False), ("/", True),
+    ]
+    rules = None
+    for pat, allow in base:
+        r = hosts.select(
+            "host", F.lit(pat).alias("pattern"), F.lit(allow).alias("allow")
+        )
+        rules = r if rules is None else rules.unionByName(r)
+    even = hosts.filter(
+        F.substring("host", 2, 10).cast("int") % 2 == 0
+    ).select(
+        "host", F.lit("/site/*$").alias("pattern"),
+        F.lit(False).alias("allow"),
+    )
+    rules = rules.unionByName(even)
+    ends = F.col("pattern").endswith("$")
+    body = F.when(
+        ends, F.expr("substr(pattern, 1, length(pattern) - 1)")
+    ).otherwise(F.col("pattern"))
+    rxp = F.concat(
+        F.lit("^"),
+        F.replace(
+            F.replace(body, F.lit("."), F.lit("\\.")),
+            F.lit("*"), F.lit(".*"),
+        ),
+        F.when(ends, F.lit("$")).otherwise(F.lit("")),
+    )
+    rx = rules.select(
+        "host", "pattern", "allow",
+        F.length("pattern").alias("plen"), rxp.alias("rxp"),
+    )
+    m = (
+        urls.join(F.broadcast(rx), "host")
+        .filter(F.expr("regexp_like(path, rxp)"))
+    )
+    w = W.partitionBy("host", "path").orderBy(
+        F.desc("plen"),
+        F.when(F.col("allow"), 0).otherwise(1).asc(),
+        F.asc("pattern"),
+    )
+    v = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("host").alias("mh"), F.col("path").alias("mp"),
+            F.col("pattern").alias("rule"), F.col("allow").alias("vallow"),
+        )
+    )
+    return urls.join(
+        v,
+        (urls.host == F.col("mh")) & (urls.path == F.col("mp")),
+        "left",
+    ).select(
+        "host", "path",
+        F.coalesce(F.col("vallow"), F.lit(True)).alias("allowed"),
+        "rule",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -7967,6 +8115,7 @@ _DRIVER_WINDOW_FIRST = [
     "cms_heavy_hitters", "dsir_select", "dust_rules", "hyperanf_nf",
     "zipf_slope", "semdedup_prune", "bowtie_classify",
     "pmi_collocations", "moments_quantiles", "bloom_decontaminate",
+    "robots_rfc_match",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
@@ -7982,7 +8131,7 @@ _DRIVER_WINDOW_FIRST = [
     #    test_dedup_similarity.py / test_analytics_properties.py —
     #    plus the every-round check_oracles sweep.)
     "missing_years", "pricing_summary", "rollup_type_year",
-    "recent_per_firm", "keep_last_dedup",
+    "recent_per_firm",
 ]
 
 

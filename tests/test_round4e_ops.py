@@ -469,3 +469,66 @@ class TestBloomDecontaminate:
         rows = QUERIES["bloom_decontaminate"].fn(spark, SF_SMALL).collect()
         # if a doc had exact_hits > bloom_hits the invariant is broken
         assert all(r.exact_hits <= r.bloom_hits for r in rows)
+
+
+class TestRobotsRfc:
+    def test_spec_behaviors(self, spark):
+        """The four RFC 9309 behaviors planted in the rule set."""
+        rows = QUERIES["robots_rfc_match"].fn(spark, SF_SMALL).collect()
+        by = {(r.host, r.path): (r.allowed, r.rule) for r in rows}
+        # longest-match override: /private/public* (allow) beats
+        # /private/* (disallow)
+        pub = [(a, ru) for (h, p), (a, ru) in by.items()
+               if p.startswith("/private/public")]
+        assert pub and all(a and ru == "/private/public*" for a, ru in pub)
+        sec = [(a, ru) for (h, p), (a, ru) in by.items()
+               if p.startswith("/private/sec")]
+        assert sec and all(
+            not a and ru == "/private/*" for a, ru in sec
+        )
+        # '$' anchor: .pdf blocked, .pdfx not
+        pdf = [(a, ru) for (h, p), (a, ru) in by.items()
+               if p.endswith(".pdf")]
+        assert pdf and all(not a and ru == "/*.pdf$" for a, ru in pdf)
+        pdfx = [(a, ru) for (h, p), (a, ru) in by.items()
+                if p.endswith(".pdfx")]
+        assert pdfx and all(a and ru == "/" for a, ru in pdfx)
+        # host-scoped rule: /site/* blocked on even hosts only
+        for (h, p), (a, ru) in by.items():
+            if p.startswith("/site/"):
+                if int(h[1:]) % 2 == 0:
+                    assert not a and ru == "/site/*$", (h, p)
+                else:
+                    assert a and ru == "/", (h, p)
+
+    def test_python_rfc_mirror(self, spark):
+        """Verdicts equal a from-scratch python RFC 9309 evaluator."""
+        import re
+
+        rows = QUERIES["robots_rfc_match"].fn(spark, SF_SMALL).collect()
+
+        def rules_for(host):
+            rs = [("/private/*", False), ("/private/public*", True),
+                  ("/*.pdf$", False), ("/", True)]
+            if int(host[1:]) % 2 == 0:
+                rs.append(("/site/*$", False))
+            return rs
+
+        def verdict(host, path):
+            best = None  # (plen, allow_first, pattern, allow)
+            for pat, allow in rules_for(host):
+                body = pat[:-1] if pat.endswith("$") else pat
+                rx = "^" + re.escape(body).replace(r"\*", ".*")
+                if pat.endswith("$"):
+                    rx += "$"
+                if re.search(rx, path):
+                    key = (-len(pat), 0 if allow else 1, pat)
+                    if best is None or key < best[0]:
+                        best = (key, pat, allow)
+            if best is None:
+                return (True, None)
+            return (best[2], best[1])
+
+        for r in rows:
+            a, ru = verdict(r.host, r.path)
+            assert (r.allowed, r.rule) == (a, ru), (r.host, r.path)

@@ -200,6 +200,8 @@ def main() -> None:
         # bloom decontamination: KB filter broadcast; candidate set,
         # not the corpus, reaches the exact join
         "bloom_decontaminate",
+        # rfc robots: rule dim broadcast over the 100x URL stream
+        "robots_rfc_match",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:

@@ -505,6 +505,11 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("bloom_decontaminate",
      [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
      [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # RFC robots: the per-host rule dim joins as a BROADCAST; the
+    # longest-match rank is a (host, path)-keyed window; no python
+    ("robots_rfc_match",
+     [r"BroadcastHashJoin", r"\(\d+\) Window"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
