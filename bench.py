@@ -107,6 +107,8 @@ HEADLINE = [
     "moments_quantiles",
     "bloom_decontaminate",
     "robots_rfc_match",
+    # harmonic_centrality: like bowtie, BFS-round-latency-bound —
+    # probed (bench_sf10 graph probes) but not a bench headline
 ]
 
 

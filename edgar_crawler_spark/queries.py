@@ -8061,6 +8061,210 @@ def q_robots_rfc_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Round 4e: harmonic centrality (HyperBall)
+# ---------------------------------------------------------------------------
+
+_HC_TOPK = 20
+
+
+def _oracle_harmonic_sql() -> str:
+    m, T, rmax = _ANF_M, _ANF_T, _ANF_RMAX
+    alpha = _e(_ANF_ALPHA)
+
+    def est(tbl: str) -> str:
+        raw = f"({alpha}) * {m} * {m} * (2 ** {rmax}) / s_int"
+        return f"""(
+      SELECT node,
+             CASE WHEN {raw} <= 2.5 * {m} AND v_zero > 0
+                  THEN {m} * ln({m} * 1.0 / v_zero)
+                  ELSE {raw} END AS est
+      FROM (
+        SELECT node,
+               sum_present + ({m} - n_present) * CAST(2 ** {rmax} AS BIGINT)
+                 AS s_int,
+               {m} - n_present AS v_zero
+        FROM (
+          SELECT node, COUNT(*) AS n_present,
+                 CAST(SUM(CAST(2 ** ({rmax} - reg) AS BIGINT)) AS BIGINT)
+                   AS sum_present
+          FROM {tbl} GROUP BY node)))"""
+
+    parts = [f"""
+    e AS MATERIALIZED ({_pr_edges_sql()}),
+    nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    h AS (
+      SELECT node,
+             CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM nodes),
+    reg0 AS MATERIALIZED (
+      SELECT node, h % {m} AS bucket,
+             CASE WHEN h // {m} = 0 THEN {rmax}
+                  ELSE {rmax} - length(bin(h // {m})) END AS reg
+      FROM h)"""]
+    # reverse-edge register propagation: ball of nodes that REACH v
+    for i in range(T):
+        n = i + 1
+        parts.append(f"""
+    reg{n} AS MATERIALIZED (
+      SELECT node, bucket, MAX(reg) AS reg FROM (
+        SELECT node, bucket, reg FROM reg{i}
+        UNION ALL
+        SELECT e.dst AS node, r.bucket, r.reg
+        FROM e JOIN reg{i} r ON r.node = e.src)
+      GROUP BY node, bucket)""")
+    for t in range(T + 1):
+        parts.append(f"\n    v{t} AS MATERIALIZED {est(f'reg{t}')}")
+    hsum = " + ".join(
+        f"(v{t}.est - v{t - 1}.est) / {t}.0" for t in range(1, T + 1)
+    )
+    joins = " ".join(
+        f"JOIN v{t} ON v{t}.node = v0.node" for t in range(1, T + 1)
+    )
+    return "WITH" + ",".join(parts) + f""",
+    hc AS (
+      SELECT v0.node, {hsum} AS h_est
+      FROM v0 {joins}),
+    ex AS (
+      SELECT node, SUM(1.0 / depth) AS h_exact FROM (
+        WITH RECURSIVE bfs(v, u, depth) AS (
+          SELECT node, node, 0 FROM nodes
+          UNION
+          SELECT bfs.v, e.src, bfs.depth + 1
+          FROM bfs JOIN e ON e.dst = bfs.u
+          WHERE bfs.depth < {T}),
+        md AS (SELECT v AS node, u, MIN(depth) AS depth
+               FROM bfs GROUP BY v, u)
+        SELECT node, depth FROM md WHERE depth >= 1)
+      GROUP BY node)
+    SELECT hc.node, ROUND(ex.h_exact, 4) AS h_exact,
+           ROUND(hc.h_est, 4) AS h_est
+    FROM hc JOIN ex ON ex.node = hc.node
+    ORDER BY ROUND(ex.h_exact, 4) DESC, hc.node
+    LIMIT {_HC_TOPK}
+    """
+
+
+@query(
+    "harmonic_centrality",
+    oracle=_oracle_harmonic_sql(),
+    doc="Harmonic centrality by HyperBall (Boldi & Vigna 2014, 'Axioms "
+        "for centrality' / 'In-core computation of geometric "
+        "centralities'): H(v) = sum over reachING nodes u of "
+        "1/d(u,v), estimated from the per-radius ball sizes of the "
+        "REVERSE graph — H_est(v) = sum_t (|ball_t| - |ball_(t-1)|)/t "
+        "— using the same per-node 32-register HLL counters as "
+        "hyperanf_nf (radius capped at 3 in BOTH engines; the exact "
+        "min-depth closure rides along and the top-20 ranks by the "
+        "exact value so sketch noise cannot reorder the output). "
+        "THE spam-resistant page-importance measure that needs no "
+        "damping parameter, computable in N*m state per round where "
+        "exact all-pairs distances are O(N^2). Same scale shape as "
+        "hyperanf_nf: one node-keyed register merge per radius after "
+        "an edge equi-join, per-round localCheckpoint, exact twin "
+        "dropped at scale.",
+)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _event_edges(spark, sf_dir)
+    redges = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    nodes = _event_nodes(edges)
+    h = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = nodes.select("node", h.alias("h"))
+    w = F.shiftright(F.col("h"), _ANF_P)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(_ANF_RMAX)).otherwise(
+        F.lit(_ANF_RMAX) - bitlen
+    )
+    regs = hashed.select(
+        "node", (F.col("h") % _ANF_M).alias("bucket"), rho.alias("reg")
+    ).localCheckpoint(eager=False)
+    ests = [_anf_node_est(regs, 0)]
+    for t in range(1, _ANF_T + 1):
+        nb = redges.join(
+            regs.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "bucket", "reg")
+        regs = (
+            regs.unionByName(nb)
+            .groupBy("node", "bucket")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint(eager=False)
+        )
+        ests.append(_anf_node_est(regs, t))
+    hc = ests[0].select("node", F.col("est").alias("e0"))
+    for t in range(1, _ANF_T + 1):
+        hc = hc.join(
+            ests[t].select("node", F.col("est").alias(f"e{t}")), "node"
+        )
+    h_est = sum(
+        (F.col(f"e{t}") - F.col(f"e{t - 1}")) / float(t)
+        for t in range(1, _ANF_T + 1)
+    )
+    # exact min-depth closure on the reverse graph (toy-scale twin)
+    visited = nodes.select(
+        F.col("node").alias("v"), F.col("node").alias("u")
+    ).withColumn("depth", F.lit(0)).localCheckpoint(eager=False)
+    frontier = visited.select("v", "u")
+    for d in range(1, _ANF_T + 1):
+        nxt = (
+            frontier.join(
+                redges.withColumnRenamed("src", "u"), "u"
+            )
+            .select("v", F.col("dst").alias("u"))
+            .distinct()
+            .join(visited.select("v", "u"), ["v", "u"], "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("v", "u")
+    ex = (
+        visited.filter(F.col("depth") >= 1)
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.sum(F.lit(1.0) / F.col("depth")).alias("h_exact"))
+    )
+    return (
+        hc.select("node", F.round(h_est, 4).alias("h_est"))
+        .join(ex, "node")
+        .select(
+            "node", F.round("h_exact", 4).alias("h_exact"), "h_est"
+        )
+        .orderBy(F.desc(F.round(F.col("h_exact"), 4)), F.asc("node"))
+        .limit(_HC_TOPK)
+        .select("node", "h_exact", "h_est")
+    )
+
+
+def _anf_node_est(regs: DataFrame, t: int) -> DataFrame:
+    """(node, est) ball-size estimates from a register table — the
+    per-node version of _anf_row's aggregate."""
+    m, rmax = _ANF_M, _ANF_RMAX
+    term = F.pow(F.lit(2.0), F.lit(rmax) - F.col("reg")).cast("long")
+    s = regs.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(term).alias("sum_present"),
+    ).select(
+        "node",
+        (F.col("sum_present")
+         + (F.lit(m) - F.col("n_present")) * F.lit(1 << rmax)).alias("s_int"),
+        (F.lit(m) - F.col("n_present")).alias("v_zero"),
+    )
+    raw = (
+        F.lit(_ANF_ALPHA) * m * m * F.lit(float(1 << rmax)) / F.col("s_int")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return s.select("node", est.alias("est"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -8115,7 +8319,7 @@ _DRIVER_WINDOW_FIRST = [
     "cms_heavy_hitters", "dsir_select", "dust_rules", "hyperanf_nf",
     "zipf_slope", "semdedup_prune", "bowtie_classify",
     "pmi_collocations", "moments_quantiles", "bloom_decontaminate",
-    "robots_rfc_match",
+    "robots_rfc_match", "harmonic_centrality",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
@@ -8131,7 +8335,6 @@ _DRIVER_WINDOW_FIRST = [
     #    test_dedup_similarity.py / test_analytics_properties.py —
     #    plus the every-round check_oracles sweep.)
     "missing_years", "pricing_summary", "rollup_type_year",
-    "recent_per_firm",
 ]
 
 

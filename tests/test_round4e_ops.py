@@ -532,3 +532,45 @@ class TestRobotsRfc:
         for r in rows:
             a, ru = verdict(r.host, r.path)
             assert (r.allowed, r.rule) == (a, ru), (r.host, r.path)
+
+
+class TestHarmonicCentrality:
+    def test_matches_python_and_sketch_tracks(self, spark):
+        from collections import defaultdict
+
+        from edgar_crawler_spark.queries import _event_edges
+
+        edges = [
+            (r.src, r.dst)
+            for r in _event_edges(spark, SF_SMALL, cache=False).collect()
+        ]
+        radj = defaultdict(set)
+        nodes = set()
+        for s, d in edges:
+            radj[d].add(s)
+            nodes |= {s, d}
+
+        def h_exact(v, cap=3):
+            seen, frontier, h = {v}, {v}, 0.0
+            for depth in range(1, cap + 1):
+                nxt = set()
+                for u in frontier:
+                    nxt |= radj[u] - seen
+                if not nxt:
+                    break
+                seen |= nxt
+                h += len(nxt) / depth
+                frontier = nxt
+            return h
+
+        rows = QUERIES["harmonic_centrality"].fn(spark, SF_SMALL).collect()
+        assert len(rows) == 20
+        want = sorted(
+            ((round(h_exact(v), 4), v) for v in nodes),
+            key=lambda t: (-t[0], t[1]),
+        )[:20]
+        got = [(r.h_exact, r.node) for r in rows]
+        assert got == [(h, v) for h, v in want]
+        for r in rows:
+            # HyperBall estimate within sketch error of the truth
+            assert abs(r.h_est - r.h_exact) / max(r.h_exact, 1) < 0.35, r

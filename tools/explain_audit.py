@@ -510,6 +510,11 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("robots_rfc_match",
      [r"BroadcastHashJoin", r"\(\d+\) Window"],
      [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # harmonic centrality: per-round checkpointed registers; top-k by
+    # the exact column is TakeOrderedAndProject; no python
+    ("harmonic_centrality",
+     [r"Scan ExistingRDD", r"TakeOrderedAndProject"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
