@@ -109,6 +109,8 @@ HEADLINE = [
     "robots_rfc_match",
     # harmonic_centrality: like bowtie, BFS-round-latency-bound —
     # probed (bench_sf10 graph probes) but not a bench headline
+    "vocab_coverage",
+    "ngram_diversity",
 ]
 
 

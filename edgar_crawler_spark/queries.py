@@ -8265,6 +8265,167 @@ def _anf_node_est(regs: DataFrame, t: int) -> DataFrame:
     return s.select("node", est.alias("est"))
 
 
+
+# ---------------------------------------------------------------------------
+# Round 4e: vocabulary coverage + n-gram diversity
+# ---------------------------------------------------------------------------
+
+_VC_TIERS = (10, 100, 1000, 10000)
+_VC_HEAD = max(_VC_TIERS)
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tk AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT g FROM tk,
+        UNNEST(CASE WHEN len(w) >= 2
+                    THEN [w[i] || ' ' || w[i+1]
+                          for i in generate_series(1, len(w) - 1)]
+                    ELSE [] END) AS u(g)),
+    freq AS (SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g),
+    head AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, g) AS rnk
+      FROM freq QUALIFY rnk <= {_VC_HEAD}),
+    tot AS (SELECT SUM(cnt) AS total_cnt FROM freq)
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           CAST(SUM(cnt) AS BIGINT) AS covered_cnt,
+           CAST(tot.total_cnt AS BIGINT) AS total_cnt,
+           ROUND(SUM(cnt) * 1.0 / tot.total_cnt, 4) AS coverage
+    FROM head, tot,
+         UNNEST([{", ".join(str(k) for k in _VC_TIERS)}]) AS kk(k)
+    WHERE rnk <= k
+    GROUP BY k, tot.total_cnt ORDER BY k
+    """,
+    doc="Vocabulary coverage curve over the bigram stream: what "
+        "fraction of all bigram occurrences the top-K cover, at K in "
+        f"{list(_VC_TIERS)} — the tokenizer/vocab sizing diagnostic "
+        "(how big must a merge table or phrase vocabulary be before "
+        "the OOV tail is negligible). Scale shape: coverage(K) needs "
+        "only the SUM of the top-K head counts against the grand "
+        "total, so the plan is the one vocabulary-keyed aggregate + "
+        "a TakeOrderedAndProject head + per-tier sums over the "
+        "BOUNDED head — no global sort, no cumulative window over "
+        "the full vocabulary (which at web scale has billions of "
+        "singleton garbage entries).",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tk = D.spread(docs).select(D.tokens_col("text").alias("w"))
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(w[i-1], ' ', w[i]))"
+        ),
+    )
+    grams = tk.select(F.explode_outer(bigrams).alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = tracked_cache(freq)
+    head = (
+        freq.orderBy(F.desc("cnt"), F.asc("g"))
+        .limit(_VC_HEAD)
+        .select(
+            "cnt",
+            F.row_number()
+            .over(W.orderBy(F.desc("cnt"), F.asc("g")))
+            .alias("rnk"),
+        )
+    )
+    tot = freq.agg(F.sum("cnt").alias("total_cnt"))
+    tiers = F.explode(
+        F.array(*[F.lit(k) for k in _VC_TIERS])
+    ).alias("k")
+    return (
+        head.select("cnt", "rnk", tiers)
+        .filter(F.col("rnk") <= F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "total_cnt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vocab"),
+            F.sum("cnt").cast("long").alias("covered_cnt"),
+        )
+        .select(
+            "k", "n_vocab", "covered_cnt",
+            F.col("total_cnt").cast("long").alias("total_cnt"),
+            F.round(
+                F.col("covered_cnt") / F.col("total_cnt"), 4
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "ngram_diversity",
+    oracle="""
+    WITH tk AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT source, n, g FROM tk, UNNEST([1, 2, 3]) AS nn(n),
+        UNNEST(CASE WHEN len(w) >= n
+                    THEN [array_to_string(w[i:i+n-1], ' ')
+                          for i in generate_series(1, len(w) - n + 1)]
+                    ELSE [] END) AS u(g))
+    SELECT source, n,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           ROUND(COUNT(DISTINCT g) * 1.0 / COUNT(*), 4) AS distinct_ratio
+    FROM grams GROUP BY source, n
+    """,
+    doc="N-gram diversity profile (the distinct-n statistic of Li et "
+        "al. 2016, standard in corpus/generation quality reports): "
+        "per source and n in {1,2,3}, the ratio of DISTINCT n-grams "
+        "to total n-gram occurrences — low distinct-2/3 flags "
+        "boilerplate-heavy or template-generated shards before they "
+        "reach a training mix (complements boilerplate_ngrams, which "
+        "finds the offending strings; this scores the shard). Scale "
+        "shape: one aggregate keyed on (source, n, gram) via the "
+        "COUNT DISTINCT expansion — the distinct never rides a "
+        "low-cardinality key alone — and the n=1..3 fan-out is a "
+        "constant factor on the scan, not a join.",
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tk = D.spread(docs).select("source", D.tokens_col("text").alias("w"))
+    parts = []
+    for n in (1, 2, 3):
+        if n == 1:
+            arr = F.col("w")
+        else:
+            arr = F.when(
+                F.size("w") >= n,
+                F.expr(
+                    f"transform(sequence(1, size(w) - {n - 1}),"
+                    f" i -> array_join(slice(w, i, {n}), ' '))"
+                ),
+            )
+        parts.append(
+            tk.select(
+                "source", F.lit(n).alias("n"),
+                F.explode_outer(arr).alias("g"),
+            ).filter(F.col("g").isNotNull())
+        )
+    grams = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return grams.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.countDistinct("g").cast("long").alias("n_distinct"),
+        F.round(
+            F.countDistinct("g") / F.count(F.lit(1)), 4
+        ).alias("distinct_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
@@ -8319,7 +8480,8 @@ _DRIVER_WINDOW_FIRST = [
     "cms_heavy_hitters", "dsir_select", "dust_rules", "hyperanf_nf",
     "zipf_slope", "semdedup_prune", "bowtie_classify",
     "pmi_collocations", "moments_quantiles", "bloom_decontaminate",
-    "robots_rfc_match", "harmonic_centrality",
+    "robots_rfc_match", "harmonic_centrality", "vocab_coverage",
+    "ngram_diversity",
     # 2. plan changed in round 4 — r04 driver row required by VERDICT
     "pagerank_topk", "dedup_canonical",
     # 3. veterans: newest driver row is r02 — recertify in r04.
@@ -8334,7 +8496,7 @@ _DRIVER_WINDOW_FIRST = [
     #    content_drift_simhash's oracle) —
     #    test_dedup_similarity.py / test_analytics_properties.py —
     #    plus the every-round check_oracles sweep.)
-    "missing_years", "pricing_summary", "rollup_type_year",
+    "missing_years",
 ]
 
 

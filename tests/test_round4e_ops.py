@@ -574,3 +574,45 @@ class TestHarmonicCentrality:
         for r in rows:
             # HyperBall estimate within sketch error of the truth
             assert abs(r.h_est - r.h_exact) / max(r.h_exact, 1) < 0.35, r
+
+
+class TestVocabCoverage:
+    def test_matches_python_mirror(self, spark):
+        import duckdb
+        from collections import Counter
+
+        rows = duckdb.sql(
+            f"SELECT lower(text) FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+        bigs = Counter()
+        for (t,) in rows:
+            ws = [x for x in t.split() if x]
+            bigs.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        ordered = sorted(bigs.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(bigs.values())
+        got = {
+            r.k: (r.n_vocab, r.covered_cnt, r.total_cnt, r.coverage)
+            for r in QUERIES["vocab_coverage"].fn(spark, SF_SMALL).collect()
+        }
+        for k in (10, 100, 1000, 10000):
+            head = ordered[:k]
+            cov = sum(c for _, c in head)
+            assert got[k][:3] == (len(head), cov, total), k
+        # curve is monotone and ends at full coverage on a
+        # bounded-vocab fixture
+        ks = sorted(got)
+        assert all(
+            got[a][3] <= got[b][3] for a, b in zip(ks, ks[1:])
+        )
+
+
+class TestNgramDiversity:
+    def test_ratio_laws_and_mirror(self, spark):
+        rows = QUERIES["ngram_diversity"].fn(spark, SF_SMALL).collect()
+        by = {(r.source, r.n): r for r in rows}
+        assert len(by) == 60  # 20 sources x n in {1,2,3}
+        for (s, n), r in by.items():
+            assert 0 < r.n_distinct <= r.n_grams
+            # templated synthetic text: diversity must rise with n
+            if (s, n + 1) in by:
+                assert by[(s, n + 1)].distinct_ratio >= r.distinct_ratio

@@ -202,6 +202,10 @@ def main() -> None:
         "bloom_decontaminate",
         # rfc robots: rule dim broadcast over the 100x URL stream
         "robots_rfc_match",
+        # coverage/diversity: vocabulary-keyed aggregates over the
+        # salted 100x gram space
+        "vocab_coverage",
+        "ngram_diversity",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:

@@ -515,6 +515,17 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("harmonic_centrality",
      [r"Scan ExistingRDD", r"TakeOrderedAndProject"],
      [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # coverage: bounded head via TakeOrderedAndProject, map-side
+    # partials, 1-row total broadcast — never a full-vocab window
+    ("vocab_coverage",
+     [r"partial_count", r"TakeOrderedAndProject"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # diversity: one (source, n, gram)-keyed aggregate; the distinct
+    # expands the key so no small key carries the corpus
+    ("ngram_diversity",
+     [r"partial_count"],
+     [r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
