@@ -111,6 +111,12 @@ HEADLINE = [
     # probed (bench_sf10 graph probes) but not a bench headline
     "vocab_coverage",
     "ngram_diversity",
+    # round 4f: OPIC crawl importance, block-max skip metadata,
+    # incremental LSH dedup, PQ compression search
+    "opic_cash",
+    "block_max_index",
+    "lsh_delta_pairs",
+    "ann_pq_adc",
 ]
 
 

@@ -206,6 +206,78 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_delta_pairs(
+    docs: DataFrame,
+    delta_mod: int = 10,
+    delta_min: int = 8,
+    *,
+    k: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    ngram: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: only the DELTA generates pairs.
+
+    Models the daily-crawl-increment shape: the corpus splits into a
+    base (already deduplicated in a previous run) and a delta
+    (``id % delta_mod >= delta_min`` — deterministic, scale-free), and
+    candidate pairs are delta×(base ∪ delta) bucket matches only.
+    base×base pairs are never regenerated, so the per-increment cost is
+    O(|delta| · bucket_size) regardless of how large the accumulated
+    base grows — the property that makes LSH dedup sustainable as a
+    RECURRING job. Pairs are canonicalized (least, greatest) so
+    delta×delta matches seen from both sides collapse in the distinct.
+
+    At 100 TB the base band table is a stored index (computed once at
+    ingest, bucket-partitioned); here both sides derive from one scan
+    and the split is a filter on the same cached band table.
+    """
+    r = k // bands
+    shingle = (
+        F.array_distinct(ngrams_col(F.col("w"), ngram))
+        if ngram >= 2
+        else F.array_distinct(F.col("w"))
+    )
+    toks = (
+        spread(docs)
+        .select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("w"))
+        .filter(F.size("w") >= max(ngram, 1))
+        .select("_id", shingle.alias("s"))
+    )
+    toks = tracked_cache(toks)
+    sig = toks.select("_id", minhash_signature_col(F.col("s"), k).alias("mh"))
+    bands_df = sig.select(
+        "_id", F.explode(band_keys_col(F.col("mh"), bands, r)).alias("bk")
+    ).select("_id", "bk.band", "bk.bkey")
+    bands_df = tracked_cache(bands_df)
+    delta = bands_df.filter((F.col("_id") % delta_mod) >= delta_min)
+    cand = (
+        delta.alias("a")
+        .join(
+            bands_df.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.least("a._id", "b._id").alias("id_a"),
+            F.greatest("a._id", "b._id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("_id").alias("id_a"), F.col("s").alias("sa"))
+    tb = toks.select(F.col("_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", jaccard_col(F.col("sa"), F.col("sb")))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash16(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     max_tokens: int | None = None,
@@ -249,6 +321,32 @@ def oracle_minhash_lsh_pairs_sql(
 ) -> str:
     """DuckDB oracle equivalent of `minhash_lsh_pairs` (same hash
     family, so results match exactly)."""
+    cand = """
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a._id < b._id"""
+    return _oracle_lsh_sql(k, bands, jaccard_threshold, ngram, cand)
+
+
+def oracle_minhash_lsh_delta_pairs_sql(
+    delta_mod: int = 10, delta_min: int = 8,
+    k: int = 8, bands: int = 4, jaccard_threshold: float = 0.8,
+    ngram: int = 1,
+) -> str:
+    """DuckDB oracle equivalent of `minhash_lsh_delta_pairs`."""
+    cand = f"""
+      SELECT DISTINCT LEAST(a._id, b._id) AS id_a,
+             GREATEST(a._id, b._id) AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a._id <> b._id
+      WHERE a._id % {delta_mod} >= {delta_min}"""
+    return _oracle_lsh_sql(k, bands, jaccard_threshold, ngram, cand)
+
+
+def _oracle_lsh_sql(
+    k: int, bands: int, jaccard_threshold: float, ngram: int,
+    cand_sql: str,
+) -> str:
     r = k // bands
     mh = ",\n      ".join(
         f"list_min(list_transform(s, t -> md5('{i}|' || t)))" for i in range(k)
@@ -286,10 +384,7 @@ def oracle_minhash_lsh_pairs_sql(
       SELECT _id, [{mh}] AS mh FROM toks),
     bands AS (
       {band_rows}),
-    cand AS (
-      SELECT DISTINCT a._id AS id_a, b._id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a._id < b._id)
+    cand AS ({cand_sql})
     SELECT c.id_a, c.id_b,
            ROUND(len(list_intersect(ta.s, tb.s)) * 1.0 /
                  len(list_distinct(list_concat(ta.s, tb.s))), 4) AS jaccard

@@ -284,6 +284,158 @@ def oracle_ivf_topk_seeded_sql(
     """
 
 
+def pq_adc_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 20, *,
+    m: int = 8, n_codes: int = 16, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou, Douze & Schmid, TPAMI 2011) — the memory-compression scale
+    path: vectors are encoded as `m` sub-codewords (here 8 subspaces ×
+    4-bit codes = 8 bytes/vector vs 256 bytes of float32), and search
+    scans CODES, not vectors, scoring each with a query-local lookup
+    table.
+
+    Codebook: per subspace, the sub-vectors of the `n_codes` data
+    points with the smallest (md5(id), id) — the same hash-uniform
+    seeding as `ivf_topk_seeded`, zero training rounds, fully
+    engine-replayable. Encoding is per-subspace argmin squared-L2 with
+    a (dist, code) tiebreak, compiled into the plan as literals — a
+    shuffle-free scan projection, exactly how codes would be computed
+    once at ingest and stored. ADC: the query's distance to every
+    (subspace, codeword) is a driver-side m×n_codes table (model-sized,
+    10-dp rounded — the cross-engine sum contract), and the per-vector
+    score is a codegen lookup-sum; top-k is TakeOrderedAndProject. At
+    10^10 vectors the scan reads 8-byte codes instead of 256-byte
+    payloads — the 32× I/O cut is the whole point of PQ.
+    """
+    sub = dim // m
+    seeds = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )  # bounded: n_codes rows of codebook payload
+    books = [
+        [
+            [float(x) for x in r[vec_col][s * sub:(s + 1) * sub]]
+            for r in seeds
+        ]
+        for s in range(m)
+    ]
+    qrow = emb.filter(F.col(id_col) == query_vec_id).head(1)
+    if not qrow:
+        raise ValueError(f"query vec {query_vec_id} not found")
+    qv = [float(x) for x in qrow[0][vec_col]]
+    # query-side LUT, same left-fold order as the SQL mirror
+    lut = [
+        [
+            round(
+                sum(
+                    (qv[s * sub + d] - books[s][j][d]) ** 2
+                    for d in range(sub)
+                ),
+                10,
+            )
+            for j in range(n_codes)
+        ]
+        for s in range(m)
+    ]
+
+    def sub_dist(s: int, cw: list[float]) -> Column:
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        return F.aggregate(
+            F.zip_with(
+                sl, F.array(*[F.lit(x) for x in cw]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def code_for(s: int) -> Column:
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sub_dist(s, books[s][j]).alias("dist"),
+                        F.lit(j).alias("code"),
+                    )
+                    for j in range(n_codes)
+                ]
+            )
+        )["code"]
+
+    from .dedup import spread  # noqa: PLC0415
+
+    coded = spread(emb).select(
+        id_col, *[code_for(s).alias(f"c{s}") for s in range(m)]
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut[s]]), F.col(f"c{s}") + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        coded.filter(F.col(id_col) != query_vec_id)
+        .select(id_col, F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def oracle_pq_adc_topk_sql(
+    query_vec_id: int = 0, k: int = 20, *,
+    m: int = 8, n_codes: int = 16, dim: int = 64,
+) -> str:
+    """DuckDB replay of `pq_adc_topk` — same codebook (md5 order), same
+    per-subspace left-fold squared-L2, same (dist, code) tiebreak, the
+    same 10-dp LUT rounding, and an ORDERED subspace fold for the ADC
+    sum so both engines add the 8 terms in s order."""
+    sub = dim // m
+    sq = (
+        "list_sum([(CAST(e.embedding[{off} + d] AS DOUBLE) - "
+        "CAST(s.embedding[{off} + d] AS DOUBLE)) * "
+        "(CAST(e.embedding[{off} + d] AS DOUBLE) - "
+        "CAST(s.embedding[{off} + d] AS DOUBLE)) "
+        f"for d in generate_series(1, {sub})])"
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT embedding,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {n_codes}),
+    sp AS (SELECT UNNEST(generate_series(0, {m - 1})) AS s),
+    dists AS (
+      SELECT e.vec_id, sp.s, s.code,
+             {sq.format(off=f"sp.s * {sub}")} AS dist
+      FROM embeddings e CROSS JOIN seeds s CROSS JOIN sp),
+    assigned AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+        FROM dists)
+      WHERE rn = 1),
+    lut AS (
+      SELECT s, code, ROUND(dist, 10) AS d
+      FROM dists WHERE vec_id = {query_vec_id}),
+    adc AS (
+      SELECT a.vec_id,
+             list_sum(list(l.d ORDER BY a.s)) AS adc_raw
+      FROM assigned a JOIN lut l ON l.s = a.s AND l.code = a.code
+      WHERE a.vec_id <> {query_vec_id}
+      GROUP BY a.vec_id)
+    SELECT vec_id, ROUND(adc_raw, 6) AS adc_dist
+    FROM adc
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT {k}
+    """
+
+
 def lsh_neardup_pairs(
     emb: DataFrame,
     *,

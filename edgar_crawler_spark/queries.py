@@ -8427,6 +8427,293 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4e: OPIC crawl importance
+# ---------------------------------------------------------------------------
+
+_OPIC_ITERS = 3
+_OPIC_TOPK = 20
+
+
+def _oracle_opic_sql(iters: int = _OPIC_ITERS) -> str:
+    """Unrolled synchronous-OPIC mirror: cash/history state pair,
+    uniform dangling redistribution, 10-dp per-round rounding."""
+    parts = [f"""
+    e AS ({_pr_edges_sql()}),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+               FROM e GROUP BY src),
+    s0 AS (SELECT node, ROUND(1.0 / nn.n, 10) AS c, 0.0 AS h
+           FROM nodes CROSS JOIN nn)"""]
+    for i in range(iters):
+        nxt = i + 1
+        parts.append(f"""
+    in{i} AS (
+      SELECT e.dst AS node, SUM(s{i}.c / o.deg) AS contrib
+      FROM e JOIN s{i} ON s{i}.node = e.src
+             JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst),
+    dm{i} AS (
+      SELECT COALESCE(SUM(s.c), 0.0) AS mass
+      FROM s{i} s LEFT JOIN outdeg o ON o.src = s.node
+      WHERE o.src IS NULL),
+    s{nxt} AS (
+      SELECT n.node,
+             ROUND(COALESCE(i.contrib, 0.0) + dm{i}.mass / nn.n, 10) AS c,
+             ROUND(s.h + s.c, 10) AS h
+      FROM nodes n
+      JOIN s{i} s ON s.node = n.node
+      LEFT JOIN in{i} i ON i.node = n.node
+      CROSS JOIN nn CROSS JOIN dm{i})""")
+    return (
+        "WITH" + ",".join(parts) + f"""
+    , tot AS (SELECT SUM(h) AS th FROM s{iters})
+    SELECT node, ROUND((h + c) / (tot.th + 1.0), 6) AS importance
+    FROM s{iters} CROSS JOIN tot
+    ORDER BY importance DESC, node ASC
+    LIMIT {_OPIC_TOPK}
+    """
+    )
+
+
+@query(
+    "opic_cash",
+    oracle=_oracle_opic_sql(),
+    doc=f"OPIC — On-line Page Importance Computation (Abiteboul, "
+        f"Preda & Cobena, WWW 2003; the default scoring of the Nutch "
+        f"crawler): every page holds (cash, history); each synchronous "
+        f"round a page banks its cash into history and splits it "
+        f"equally over its outlinks, dangling cash redistributed "
+        f"uniformly; importance = (history + cash) / (total history "
+        f"+ 1). Unlike PageRank this needs no damping or convergence "
+        f"test — total cash is conserved at 1.0 every round (the "
+        f"pinned test law) — which is why crawlers use it to score "
+        f"a frontier that changes under them. {_OPIC_ITERS} unrolled "
+        f"rounds over the shared event-derived graph, top-"
+        f"{_OPIC_TOPK}. Scale shape: per round one edges-to-cash "
+        f"equi-join + one dst-keyed sum (same as pagerank_topk), the "
+        f"dangling mass and 1/N are 1-row broadcast scalars, and the "
+        f"(cash, history) state is localCheckpoint-ed each round so "
+        f"the recompute tree stays flat; 10-dp per-round rounding "
+        f"pins both engines to one trajectory.",
+)
+def q_opic_cash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = opic_state(spark, sf_dir, _OPIC_ITERS)
+    tot = state.agg(F.sum("h").alias("th"))
+    return (
+        state.crossJoin(F.broadcast(tot))  # 1-row total history
+        .select(
+            "node",
+            F.round(
+                (F.col("h") + F.col("c")) / (F.col("th") + F.lit(1.0)), 6
+            ).alias("importance"),
+        )
+        .orderBy(F.desc("importance"), F.asc("node"))
+        .limit(_OPIC_TOPK)
+    )
+
+
+def opic_state(
+    spark: SparkSession, sf_dir: str, iters: int = _OPIC_ITERS,
+    mod: int = _PR_MOD,
+) -> DataFrame:
+    """Synchronous OPIC (cash, history) state after ``iters`` rounds.
+
+    Same per-round join/agg shape and lineage discipline as
+    :func:`pagerank_ranks`: the state feeds two consumers next round
+    (contrib join + dangling anti-join), so each loop body ends with a
+    lazy ``localCheckpoint`` — plan depth stays one round regardless
+    of ``iters``.
+    """
+    edges = _event_edges(spark, sf_dir, mod)
+    nodes = tracked_cache(_event_nodes(edges))
+    n = float(nodes.count())  # one scalar to the driver
+    outdeg = tracked_cache(
+        edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("double").alias("deg")
+        )
+    )
+    state = nodes.select(
+        "node",
+        F.round(F.lit(1.0 / n), 10).alias("c"),
+        F.lit(0.0).alias("h"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(state.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("c") / F.col("deg")).alias("contrib"))
+        )
+        dangling = state.join(
+            outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("mass"))
+        state = (
+            state.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))  # 1-row dangling mass
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("mass") / F.lit(n),
+                    10,
+                ).alias("c"),
+                F.round(F.col("h") + F.col("c"), 10).alias("h"),
+            )
+        )
+        # lineage cut: state feeds two consumers next round
+        state = state.localCheckpoint(eager=False)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Round 4e: block-max index metadata
+# ---------------------------------------------------------------------------
+
+_BM_BLOCK = 64  # docid span per block
+
+
+@query(
+    "block_max_index",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    toks AS (SELECT doc_id, g FROM tk, UNNEST(w) AS u(g)),
+    tf AS (SELECT g AS term, doc_id, COUNT(*) AS tf
+           FROM toks GROUP BY g, doc_id),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+    SELECT t.term,
+           CAST(t.doc_id // {_BM_BLOCK} AS BIGINT) AS block,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(MIN(t.doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(t.doc_id) AS BIGINT) AS max_doc,
+           MAX(ROUND(t.tf * ln(nn.n / d.df), 6)) AS block_max_w
+    FROM tf t JOIN df d USING (term) CROSS JOIN nn
+    GROUP BY t.term, block
+    """,
+    doc=f"Block-max index metadata (Ding & Suel, SIGIR 2011 — the "
+        f"skip structure behind Block-Max WAND/MaxScore): per term "
+        f"and docid-range block of {_BM_BLOCK}, the posting count, "
+        f"docid bounds, and the maximum tf-idf impact in the block — "
+        f"what lets a query evaluator skip whole blocks whose upper "
+        f"bound cannot reach the heap threshold. Scale shape: blocks "
+        f"are RANGE-based (block = doc_id // {_BM_BLOCK}) rather than "
+        f"ordinal, so the metadata is ONE map-side-combinable "
+        f"aggregate keyed on (term, block) — a billion-posting head "
+        f"term spreads across its doc-space blocks instead of "
+        f"serializing through a per-term window/sort; df and N enter "
+        f"as a vocabulary-sized broadcast dim and a 1-row broadcast "
+        f"scalar. Complements inverted_index_blocked (which chunks "
+        f"postings payloads) with the impact-ordering skip metadata.",
+)
+def q_block_max_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        D.spread(docs)
+        .select(
+            "doc_id",
+            F.explode_outer(D.tokens_col("text")).alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tracked_cache(tf)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nn))  # 1-row corpus size
+        .groupBy(
+            "term",
+            F.floor(F.col("doc_id") / _BM_BLOCK).cast("long").alias("block"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            F.max(
+                F.round(
+                    F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+                )
+            ).alias("block_max_w"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4e: incremental LSH dedup over a crawl delta
+# ---------------------------------------------------------------------------
+
+@query(
+    "lsh_delta_pairs",
+    oracle=D.oracle_minhash_lsh_delta_pairs_sql(
+        delta_mod=10, delta_min=8, k=12, bands=6,
+        jaccard_threshold=0.6, ngram=2,
+    ),
+    doc="Incremental MinHash-LSH dedup for a recurring crawl: the "
+        "corpus splits into an already-deduplicated BASE and a new "
+        "DELTA (doc_id % 10 >= 8 — deterministic, scale-free), and "
+        "candidate generation is delta x (base U delta) bucket "
+        "matches only — base x base pairs are never regenerated. "
+        "This is the shape that keeps LSH dedup sustainable as a "
+        "daily job: per-increment cost is O(|delta| * bucket_size) "
+        "no matter how large the accumulated base grows, and at "
+        "100 TB the base band table is a stored bucket-partitioned "
+        "index, not a recomputation (postings_delta is the index-"
+        "maintenance sibling; this is the dedup one). Pairs are "
+        "canonicalized (least, greatest) so delta x delta matches "
+        "seen from both sides collapse in the distinct; bigram "
+        "shingles (the production unit — unigrams on a toy "
+        "vocabulary make the true pair set quadratically dense, the "
+        "dedup_canonical r03 lesson) with exact bigram-Jaccard "
+        ">= 0.6 verify as in jaccard_bigram_pairs. "
+        "operators/dedup.py:minhash_lsh_delta_pairs.",
+)
+def q_lsh_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_delta_pairs(
+        _t(spark, sf_dir, "documents"),
+        delta_mod=10, delta_min=8,
+        k=12, bands=6, jaccard_threshold=0.6, ngram=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4e: product-quantization ANN
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_pq_adc",
+    oracle=S.oracle_pq_adc_topk_sql(
+        query_vec_id=0, k=20, m=8, n_codes=16, dim=64
+    ),
+    doc="Product-quantization ANN with asymmetric distance (Jegou, "
+        "Douze & Schmid TPAMI 2011): 8 subspaces x 16 hash-seeded "
+        "codewords encode each 64-dim vector as 8 small codes, and "
+        "search scans the CODES with a query-local 8x16 lookup table "
+        "— completing the ANN ladder (brute cosine -> LSH buckets -> "
+        "IVF cells -> PQ compression). Scale shape: encoding is a "
+        "shuffle-free codegen projection with the codebook compiled "
+        "in as literals (computed once at ingest and stored, like "
+        "ivf's cell column); the ADC LUT is model-sized driver "
+        "state; scoring reads 8 bytes/vector instead of the 256-byte "
+        "payload (the 32x scan-I/O cut that makes 10^10-vector "
+        "search feasible); top-k is TakeOrderedAndProject. Cross-"
+        "engine contract: md5-ordered codebook, (dist, code) argmin "
+        "tiebreak, 10-dp LUT rounding, ordered subspace fold. "
+        "operators/similarity.py:pq_adc_topk.",
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20,
+        m=8, n_codes=16, dim=64,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 
@@ -8496,7 +8783,23 @@ _DRIVER_WINDOW_FIRST = [
     #    content_drift_simhash's oracle) —
     #    test_dedup_similarity.py / test_analytics_properties.py —
     #    plus the every-round check_oracles sweep.)
-    "missing_years",
+    # 4. round-4f addition with the newest cross-engine contract
+    #    (PQ codebook/LUT/fold rules) — certify it now; its three
+    #    r4f siblings queue for the r05 window (below).
+    "ann_pq_adc",
+]
+
+# Round-4f additions that do NOT fit the 50-slot window this round
+# (never-certified count now exceeds the window size — arithmetic,
+# not neglect). They hold green check_oracles rows at sf0.01 AND
+# sf0.001 plus dedicated law tests this session, and take window
+# priority in r05 under the never-certified-first policy. missing_years
+# (r02-green driver row + judge re-run) parked to its veteran standing
+# to admit ann_pq_adc.
+_DRIVER_QUEUE_NEXT = [
+    "opic_cash",
+    "block_max_index",
+    "lsh_delta_pairs",
 ]
 
 

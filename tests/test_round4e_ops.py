@@ -616,3 +616,208 @@ class TestNgramDiversity:
             # templated synthetic text: diversity must rise with n
             if (s, n + 1) in by:
                 assert by[(s, n + 1)].distinct_ratio >= r.distinct_ratio
+
+
+class TestOpicCash:
+    def test_cash_conserved_and_history_accumulates(self, spark):
+        from edgar_crawler_spark.queries import opic_state
+
+        for iters in (1, 3):
+            s = opic_state(spark, SF_SMALL, iters).agg(
+                F.sum("c").alias("tc"), F.sum("h").alias("th")
+            ).collect()[0]
+            # synchronous OPIC conserves total cash at 1.0 every round
+            # and banks exactly one unit into history per round (up to
+            # the 10-dp per-round rounding drift)
+            assert abs(s.tc - 1.0) < 1e-6, (iters, s.tc)
+            assert abs(s.th - float(iters)) < 1e-6, (iters, s.th)
+
+    def test_matches_python_mirror(self, spark):
+        import duckdb
+
+        from edgar_crawler_spark.queries import _PR_MOD, QUERIES
+
+        edges = duckdb.sql(
+            f"""SELECT DISTINCT user_id % {_PR_MOD},
+                       (user_id * 7 + event_id) % {_PR_MOD}
+                FROM '{SF_SMALL}/events.parquet'
+                WHERE user_id % {_PR_MOD}
+                      <> (user_id * 7 + event_id) % {_PR_MOD}"""
+        ).fetchall()
+        nodes = sorted({u for e in edges for u in e})
+        out: dict[int, list[int]] = {}
+        for s, d in edges:
+            out.setdefault(s, []).append(d)
+        n = float(len(nodes))
+        c = {u: round(1.0 / n, 10) for u in nodes}
+        h = {u: 0.0 for u in nodes}
+        for _ in range(3):
+            nxt = {u: 0.0 for u in nodes}
+            dangling = sum(c[u] for u in nodes if u not in out)
+            for u, ds in out.items():
+                for d in ds:
+                    nxt[d] += c[u] / len(ds)
+            for u in nodes:
+                h[u] = round(h[u] + c[u], 10)
+                c[u] = round(nxt[u] + dangling / n, 10)
+        th = sum(h.values())
+        exp = sorted(
+            (
+                (u, round((h[u] + c[u]) / (th + 1.0), 6))
+                for u in nodes
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:20]
+        got = [
+            (r.node, r.importance)
+            for r in QUERIES["opic_cash"].fn(spark, SF_SMALL).collect()
+        ]
+        # same set and same importance values (float sum order across
+        # nodes may differ in th at 1e-16; values are 6-dp rounded)
+        assert {g[0] for g in got} == {e[0] for e in exp}
+        assert dict(got) == dict(exp)
+
+
+class TestBlockMaxIndex:
+    def test_matches_python_mirror(self, spark):
+        import math
+
+        import duckdb
+
+        rows = duckdb.sql(
+            f"SELECT doc_id, lower(text) "
+            f"FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+        tf: dict[tuple[str, int], int] = {}
+        for doc_id, t in rows:
+            for w in t.split():
+                if w:
+                    tf[(w, doc_id)] = tf.get((w, doc_id), 0) + 1
+        df: dict[str, int] = {}
+        for (w, _), _c in tf.items():
+            df[w] = df.get(w, 0) + 1
+        n = float(len(rows))
+        exp: dict[tuple[str, int], list] = {}
+        for (w, doc_id), c in tf.items():
+            b = doc_id // 64
+            wgt = round(c * math.log(n / df[w]), 6)
+            e = exp.setdefault((w, b), [0, 10**18, -1, float("-inf")])
+            e[0] += 1
+            e[1] = min(e[1], doc_id)
+            e[2] = max(e[2], doc_id)
+            e[3] = max(e[3], wgt)
+        got = {
+            (r.term, r.block): [
+                r.n_postings, r.min_doc, r.max_doc, r.block_max_w
+            ]
+            for r in QUERIES["block_max_index"].fn(spark, SF_SMALL).collect()
+        }
+        assert got == {k: list(v) for k, v in exp.items()}
+        # structural law: block docid bounds live inside the block span
+        for (w, b), (_, lo, hi, _w) in got.items():
+            assert b * 64 <= lo <= hi < (b + 1) * 64
+
+
+class TestLshDeltaPairs:
+    def test_delta_endpoint_and_subset_of_full_run(self, spark):
+        from edgar_crawler_spark.operators import dedup as D
+        from edgar_crawler_spark.tables import load_table
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        delta = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in QUERIES["lsh_delta_pairs"].fn(spark, SF_SMALL).collect()
+        }
+        assert delta  # non-trivial at sf0.001
+        # every pair touches the delta (doc_id % 10 >= 8)
+        for a, b in delta:
+            assert a % 10 >= 8 or b % 10 >= 8, (a, b)
+        full = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.minhash_lsh_pairs(
+                docs, k=12, bands=6, jaccard_threshold=0.6, ngram=2
+            ).collect()
+        }
+        # the incremental run is EXACTLY the full run restricted to
+        # pairs with a delta endpoint: no pair lost, none invented
+        want = {
+            p: j for p, j in full.items()
+            if p[0] % 10 >= 8 or p[1] % 10 >= 8
+        }
+        assert delta == want
+
+
+class TestAnnPqAdc:
+    def test_matches_python_mirror_and_recall(self, spark):
+        import duckdb
+
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding "
+            f"FROM '{SF_SMALL}/embeddings.parquet'"
+        ).fetchall()
+        vecs = {int(v): [float(x) for x in e] for v, e in rows}
+        seeds = sorted(
+            vecs,
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )[:16]
+        m, sub = 8, 8
+        books = [
+            [vecs[s][sp * sub:(sp + 1) * sub] for s in seeds]
+            for sp in range(m)
+        ]
+        qv = vecs[0]
+        lut = [
+            [
+                round(
+                    sum(
+                        (qv[sp * sub + d] - books[sp][j][d]) ** 2
+                        for d in range(sub)
+                    ),
+                    10,
+                )
+                for j in range(16)
+            ]
+            for sp in range(m)
+        ]
+
+        def code(v: list[float], sp: int) -> int:
+            return min(
+                range(16),
+                key=lambda j: (
+                    sum(
+                        (v[sp * sub + d] - books[sp][j][d]) ** 2
+                        for d in range(sub)
+                    ),
+                    j,
+                ),
+            )
+
+        exp = sorted(
+            (
+                (
+                    vid,
+                    round(
+                        sum(lut[sp][code(v, sp)] for sp in range(m)), 6
+                    ),
+                )
+                for vid, v in vecs.items()
+                if vid != 0
+            ),
+            key=lambda t: (t[1], t[0]),
+        )[:20]
+        got = [
+            (r.vec_id, r.adc_dist)
+            for r in QUERIES["ann_pq_adc"].fn(spark, SF_SMALL).collect()
+        ]
+        assert got == exp
+        # recall floor vs exact squared-L2 top-20 (coarse 16-code
+        # codebook; the law is a conservative sanity bound)
+        def l2(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+
+        exact = sorted(
+            ((vid, l2(v, qv)) for vid, v in vecs.items() if vid != 0),
+            key=lambda t: (t[1], t[0]),
+        )[:20]
+        overlap = {g[0] for g in got} & {e[0] for e in exact}
+        assert len(overlap) >= 5, sorted(overlap)

@@ -206,6 +206,17 @@ def main() -> None:
         # salted 100x gram space
         "vocab_coverage",
         "ngram_diversity",
+        # block-max metadata: (term, block)-keyed map-side agg over
+        # the 100x posting stream
+        "block_max_index",
+        # incremental LSH: delta x (base U delta) bucket join — the
+        # per-increment cost bound is the point being measured
+        "lsh_delta_pairs",
+        # PQ-ADC: codegen encode + LUT top-k over the replicated
+        # embedding table (opic_cash is BFS-round-latency-bound like
+        # pagerank_ranks and is probed through the graph probes'
+        # shared edge builder instead)
+        "ann_pq_adc",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:

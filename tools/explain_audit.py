@@ -526,6 +526,31 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"partial_count"],
      [r"\+- Sort .*global=true",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # OPIC: state localCheckpoint-ed per round (flat plan, like
+    # pagerank); the total-history normalizer enters as a 1-row
+    # broadcast, and the final importance is a top-k, never a sort
+    ("opic_cash",
+     [r"TakeOrderedAndProject", r"Scan ExistingRDD",
+      r"BroadcastNestedLoopJoin"],
+     [r"\+- Sort .*global=true", r"SortMergeJoin",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # block-max metadata: one map-side-combinable agg on (term, block);
+    # df is a broadcast dim, no per-term window/sort anywhere
+    ("block_max_index",
+     [r"partial_count", r"BroadcastHashJoin"],
+     [r"\bWindow\b", r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # incremental LSH: candidates keyed on the (band, bkey) bucket —
+    # never on a metadata column like source
+    ("lsh_delta_pairs",
+     [r"Left keys \[2\]: \[band#\d+, bkey#\d+\]"],
+     [r"source#"]),
+    # PQ-ADC: encoding + LUT scoring are codegen scan projections,
+    # search is a top-k over codes — no shuffle before the take
+    ("ann_pq_adc",
+     [r"TakeOrderedAndProject"],
+     [r"Exchange hashpartitioning", r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
