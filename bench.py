@@ -112,11 +112,14 @@ HEADLINE = [
     "vocab_coverage",
     "ngram_diversity",
     # round 4f: OPIC crawl importance, block-max skip metadata,
-    # incremental LSH dedup, PQ compression search
+    # incremental LSH dedup, PQ compression search, spam mass,
+    # WARC range coalescing
     "opic_cash",
     "block_max_index",
     "lsh_delta_pairs",
     "ann_pq_adc",
+    "spam_mass",
+    "warc_range_coalesce",
 ]
 
 

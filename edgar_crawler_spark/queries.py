@@ -8714,6 +8714,267 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4f: relative spam mass (PageRank vs TrustRank)
+# ---------------------------------------------------------------------------
+
+def _oracle_spam_mass_sql(iters: int = _PR_ITERS) -> str:
+    """Combined unrolled PageRank (p-chain) + TrustRank (t-chain)
+    sharing one edge/node/outdeg prefix, then the relative-spam-mass
+    formula with the Σp/Σt scale."""
+    d = _e(_PR_D)
+    omd = _e(1.0 - _PR_D)
+    parts = [f"""
+    e AS ({_pr_edges_sql()}),
+    nodes AS (
+      SELECT node, node % {_TR_SEED_MOD} = 0 AS is_seed
+      FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    nseed AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM nodes WHERE is_seed),
+    sv AS (
+      SELECT node,
+             CASE WHEN is_seed THEN 1.0 / ns ELSE 0.0 END AS s
+      FROM nodes CROSS JOIN nseed),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+               FROM e GROUP BY src),
+    p0 AS (SELECT node, ROUND(1.0 / nn.n, 10) AS r
+           FROM nodes CROSS JOIN nn),
+    t0 AS (SELECT node, ROUND(s, 10) AS r FROM sv)"""]
+    for i in range(iters):
+        nxt = i + 1
+        parts.append(f"""
+    pc{i} AS (
+      SELECT e.dst AS node, SUM(p{i}.r / o.deg) AS contrib
+      FROM e JOIN p{i} ON p{i}.node = e.src
+             JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst),
+    pdm{i} AS (
+      SELECT COALESCE(SUM(r.r), 0.0) AS mass
+      FROM p{i} r LEFT JOIN outdeg o ON o.src = r.node
+      WHERE o.src IS NULL),
+    p{nxt} AS (
+      SELECT n.node,
+             ROUND(({omd}) / nn.n
+                   + ({d}) * (COALESCE(c.contrib, 0.0)
+                              + pdm{i}.mass / nn.n), 10) AS r
+      FROM nodes n
+      LEFT JOIN pc{i} c ON c.node = n.node
+      CROSS JOIN nn CROSS JOIN pdm{i}),
+    tc{i} AS (
+      SELECT e.dst AS node, SUM(t{i}.r / o.deg) AS contrib
+      FROM e JOIN t{i} ON t{i}.node = e.src
+             JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst),
+    tdm{i} AS (
+      SELECT COALESCE(SUM(r.r), 0.0) AS mass
+      FROM t{i} r LEFT JOIN outdeg o ON o.src = r.node
+      WHERE o.src IS NULL),
+    t{nxt} AS (
+      SELECT sv.node,
+             ROUND(({omd}) * sv.s
+                   + ({d}) * (COALESCE(c.contrib, 0.0)
+                              + tdm{i}.mass * sv.s), 10) AS r
+      FROM sv
+      LEFT JOIN tc{i} c ON c.node = sv.node
+      CROSS JOIN tdm{i})""")
+    return (
+        "WITH" + ",".join(parts) + f"""
+    , tots AS (
+      SELECT SUM(p.r) AS sp, SUM(t.r) AS st
+      FROM p{iters} p JOIN t{iters} t ON t.node = p.node)
+    SELECT p.node, ROUND(p.r, 6) AS pr, ROUND(t.r, 6) AS tr,
+           ROUND((p.r - t.r * (tots.sp / tots.st)) / p.r, 6)
+             AS spam_mass
+    FROM p{iters} p JOIN t{iters} t ON t.node = p.node
+    CROSS JOIN tots
+    ORDER BY spam_mass DESC, p.node ASC
+    LIMIT {_PR_TOPK}
+    """
+    )
+
+
+@query(
+    "spam_mass",
+    oracle=_oracle_spam_mass_sql(),
+    doc=f"Relative spam mass (Gyongyi, Berkhin, Garcia-Molina & "
+        f"Pedersen, VLDB 2006): the fraction of a page's PageRank "
+        f"that does NOT flow from the trusted core — "
+        f"(PR - scale*TR)/PR with scale = sum(PR)/sum(TR) putting the "
+        f"two scores on one mass budget. High spam mass = ranking "
+        f"earned from unvetted link neighborhoods (link farms); the "
+        f"standard demotion signal a crawler applies on top of raw "
+        f"PageRank. Composes the two existing iterative pipelines "
+        f"(pagerank_ranks + trustrank_ranks, {_PR_ITERS} rounds each) "
+        f"over the SAME cached edge/outdeg tables — one graph scan "
+        f"feeds both chains; the score join is node-keyed, the "
+        f"(sum PR, sum TR) scale is a 1-row broadcast, top-"
+        f"{_PR_TOPK} by spam mass.",
+)
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = pagerank_ranks(spark, sf_dir, _PR_ITERS).withColumnRenamed(
+        "r", "p"
+    )
+    tr = trustrank_ranks(spark, sf_dir, _PR_ITERS).withColumnRenamed(
+        "r", "t"
+    )
+    joined = tracked_cache(pr.join(tr, "node"))
+    tots = joined.agg(
+        F.sum("p").alias("sp"), F.sum("t").alias("st")
+    )
+    return (
+        joined.crossJoin(F.broadcast(tots))  # 1-row scale
+        .select(
+            "node",
+            F.round("p", 6).alias("pr"),
+            F.round("t", 6).alias("tr"),
+            F.round(
+                (F.col("p") - F.col("t") * (F.col("sp") / F.col("st")))
+                / F.col("p"),
+                6,
+            ).alias("spam_mass"),
+        )
+        .orderBy(F.desc("spam_mass"), F.asc("node"))
+        .limit(_PR_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4f: WARC byte-range coalescing for bulk re-fetch
+# ---------------------------------------------------------------------------
+
+_RC_GAP = 600    # max skipped bytes to bridge into one ranged GET
+_RC_WANT = "doc_id % 7 < 3"  # deterministic re-process subset (~43%)
+
+
+@query(
+    "warc_range_coalesce",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             'https://host' || CAST(doc_id % 23 AS VARCHAR)
+               || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             '2020-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               || 'T00:00:00Z' AS dt,
+             '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+               || '</title></head><body>' || text
+               || '</body></html>' AS payload
+      FROM documents),
+    r AS (
+      SELECT doc_id, doc_id // 32 AS file_id,
+             87 + length(url) + length(dt) + length(payload)
+                + length(CAST(length(payload) AS VARCHAR)) AS rec_length
+      FROM p),
+    o AS (
+      SELECT *,
+             COALESCE(SUM(rec_length) OVER (
+               PARTITION BY file_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS rec_offset
+      FROM r),
+    wanted AS (SELECT * FROM o WHERE {_RC_WANT}),
+    flagged AS (
+      SELECT *,
+             CASE WHEN rec_offset
+                       - COALESCE(LAG(rec_offset + rec_length) OVER (
+                           PARTITION BY file_id ORDER BY rec_offset),
+                         -{_RC_GAP + 1}) > {_RC_GAP}
+                  THEN 1 ELSE 0 END AS new_batch
+      FROM wanted),
+    batched AS (
+      SELECT *,
+             SUM(new_batch) OVER (
+               PARTITION BY file_id ORDER BY rec_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS batch
+      FROM flagged)
+    SELECT 'warc-' || CAST(file_id AS VARCHAR) AS warc_file,
+           CAST(batch AS BIGINT) AS batch,
+           CAST(MIN(rec_offset) AS BIGINT) AS range_start,
+           CAST(MAX(rec_offset + rec_length) AS BIGINT) AS range_end,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(MAX(rec_offset + rec_length) - MIN(rec_offset)
+                - SUM(rec_length) AS BIGINT) AS wasted_bytes
+    FROM batched
+    GROUP BY file_id, batch
+    """,
+    doc=f"WARC byte-range coalescing — the bulk re-fetch planner for "
+        f"selective re-processing over an HTTP-range store (the "
+        f"Common-Crawl S3 access pattern): given the CDX pointers of "
+        f"cdx_index_build and a wanted-record predicate "
+        f"({_RC_WANT!r}), merge ranges whose inter-record gap is "
+        f"<= {_RC_GAP} bytes into single ranged GETs, reporting each "
+        f"batch's span, record count, and deliberately over-fetched "
+        f"(wasted) bytes — the request-count vs bytes trade every "
+        f"bulk WARC reader tunes. Interval coalescing = a lag-gap "
+        f"flag + a running-sum batch id, BOTH windows partitioned by "
+        f"the warc file (the unbounded-file-count axis, never a "
+        f"global sort) with per-file row counts bounded by the WARC "
+        f"packing factor (32), then one (file, batch)-keyed "
+        f"aggregate; all-integer arithmetic, no float contract "
+        f"needed. The byte-domain sibling of sessionize's time-gap "
+        f"grouping, with offsets from the pack_sequences prefix-sum "
+        f"idiom.",
+)
+def q_warc_range_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warc import warc_record_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    url, date, payload = (
+        _warc_url_col(), _warc_date_col(), _warc_payload_col()
+    )
+    r = docs.select(
+        "doc_id",
+        (F.col("doc_id") / 32).cast("long").alias("file_id"),
+        F.length(warc_record_expr(url, date, payload)).cast("long").alias(
+            "rec_length"
+        ),
+    )
+    w_off = (
+        W.partitionBy("file_id")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    o = r.withColumn(
+        "rec_offset", F.coalesce(F.sum("rec_length").over(w_off), F.lit(0))
+    )
+    wanted = o.filter(F.expr(_RC_WANT))
+    w_seq = W.partitionBy("file_id").orderBy("rec_offset")
+    flagged = wanted.withColumn(
+        "new_batch",
+        (
+            F.col("rec_offset")
+            - F.coalesce(
+                F.lag(F.col("rec_offset") + F.col("rec_length")).over(w_seq),
+                F.lit(-(_RC_GAP + 1)),
+            )
+            > _RC_GAP
+        ).cast("int"),
+    )
+    batched = flagged.withColumn(
+        "batch",
+        F.sum("new_batch").over(
+            w_seq.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return batched.groupBy("file_id", "batch").agg(
+        F.min("rec_offset").alias("range_start"),
+        F.max(F.col("rec_offset") + F.col("rec_length")).alias("range_end"),
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        (
+            F.max(F.col("rec_offset") + F.col("rec_length"))
+            - F.min("rec_offset")
+            - F.sum("rec_length")
+        ).alias("wasted_bytes"),
+    ).select(
+        F.concat(F.lit("warc-"), F.col("file_id").cast("string")).alias(
+            "warc_file"
+        ),
+        F.col("batch").cast("long").alias("batch"),
+        "range_start", "range_end", "n_records", "wasted_bytes",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 
@@ -8800,6 +9061,8 @@ _DRIVER_QUEUE_NEXT = [
     "opic_cash",
     "block_max_index",
     "lsh_delta_pairs",
+    "spam_mass",
+    "warc_range_coalesce",
 ]
 
 

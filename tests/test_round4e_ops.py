@@ -821,3 +821,101 @@ class TestAnnPqAdc:
         )[:20]
         overlap = {g[0] for g in got} & {e[0] for e in exact}
         assert len(overlap) >= 5, sorted(overlap)
+
+
+class TestSpamMass:
+    def test_matches_python_mirror_and_laws(self, spark):
+        import duckdb
+
+        from edgar_crawler_spark.queries import (
+            _PR_D,
+            _PR_MOD,
+            _TR_SEED_MOD,
+            QUERIES,
+        )
+
+        edges = duckdb.sql(
+            f"""SELECT DISTINCT user_id % {_PR_MOD},
+                       (user_id * 7 + event_id) % {_PR_MOD}
+                FROM '{SF_SMALL}/events.parquet'
+                WHERE user_id % {_PR_MOD}
+                      <> (user_id * 7 + event_id) % {_PR_MOD}"""
+        ).fetchall()
+        nodes = sorted({u for e in edges for u in e})
+        out: dict[int, list[int]] = {}
+        for s, d in edges:
+            out.setdefault(s, []).append(d)
+        n = float(len(nodes))
+        seeds = [u for u in nodes if u % _TR_SEED_MOD == 0]
+        sv = {u: (1.0 / len(seeds) if u in seeds else 0.0) for u in nodes}
+
+        def power(r0, teleport):
+            r = dict(r0)
+            for _ in range(3):
+                nxt = {u: 0.0 for u in nodes}
+                dangling = sum(r[u] for u in nodes if u not in out)
+                for u, ds in out.items():
+                    for d in ds:
+                        nxt[d] += r[u] / len(ds)
+                r = {
+                    u: round(
+                        (1.0 - _PR_D) * teleport[u]
+                        + _PR_D * (nxt[u] + dangling * teleport[u]),
+                        10,
+                    )
+                    for u in nodes
+                }
+            return r
+
+        uni = {u: 1.0 / n for u in nodes}
+        pr = power({u: round(1.0 / n, 10) for u in nodes}, uni)
+        tr = power({u: round(sv[u], 10) for u in nodes}, sv)
+        scale = sum(pr.values()) / sum(tr.values())
+        exp = sorted(
+            (
+                (u, round((pr[u] - tr[u] * scale) / pr[u], 6))
+                for u in nodes
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:20]
+        rows = QUERIES["spam_mass"].fn(spark, SF_SMALL).collect()
+        got = [(r.node, r.spam_mass) for r in rows]
+        assert got == exp
+        for r in rows:
+            # all PR mass not from the trusted core: bounded above by 1,
+            # and exactly 1 when NO trust reaches the node
+            assert r.spam_mass <= 1.0 + 1e-9
+            if r.tr == 0.0:
+                assert r.spam_mass == 1.0
+
+
+class TestWarcRangeCoalesce:
+    def test_partition_laws_and_byte_conservation(self, spark):
+        from edgar_crawler_spark.queries import _RC_GAP, QUERIES
+
+        rows = QUERIES["warc_range_coalesce"].fn(spark, SF_SMALL).collect()
+        assert rows
+        by_file: dict[str, list] = {}
+        for r in rows:
+            assert r.n_records >= 1
+            assert r.range_start < r.range_end
+            assert r.wasted_bytes >= 0
+            by_file.setdefault(r.warc_file, []).append(r)
+        for f, bs in by_file.items():
+            bs.sort(key=lambda r: r.range_start)
+            for a, b in zip(bs, bs[1:]):
+                # batches are disjoint AND separated by more than the
+                # bridgeable gap (otherwise they'd have been merged)
+                assert b.range_start - a.range_end > _RC_GAP, (f, a, b)
+        # every wanted record lands in exactly one batch, and bytes
+        # conserve: span - waste == wanted payload bytes per the CDX
+        cdx = QUERIES["cdx_index_build"].fn(spark, SF_SMALL).collect()
+        wanted = [
+            c for c in cdx
+            if int(c.surt.split("/doc/")[1]) % 7 < 3
+        ]
+        assert sum(r.n_records for r in rows) == len(wanted)
+        assert (
+            sum(r.range_end - r.range_start - r.wasted_bytes for r in rows)
+            == sum(c.rec_length for c in wanted)
+        )

@@ -213,10 +213,13 @@ def main() -> None:
         # per-increment cost bound is the point being measured
         "lsh_delta_pairs",
         # PQ-ADC: codegen encode + LUT top-k over the replicated
-        # embedding table (opic_cash is BFS-round-latency-bound like
-        # pagerank_ranks and is probed through the graph probes'
-        # shared edge builder instead)
+        # embedding table (opic_cash/spam_mass are round-latency-
+        # bound like pagerank_ranks and are probed through the graph
+        # probes' shared edge builder instead)
         "ann_pq_adc",
+        # range coalescing: per-file windows over the 100x record
+        # stream — the file axis is what grows
+        "warc_range_coalesce",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:

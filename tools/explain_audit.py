@@ -551,6 +551,19 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"TakeOrderedAndProject"],
      [r"Exchange hashpartitioning", r"\+- Sort .*global=true",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # spam mass: both chains end checkpointed (flat lineage), the
+    # Σpr/Σtr scale is a 1-row broadcast, final is a top-k
+    ("spam_mass",
+     [r"TakeOrderedAndProject", r"Scan ExistingRDD",
+      r"BroadcastNestedLoopJoin"],
+     [r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # range coalescing: every window rides the per-file partition key
+    # (unbounded file axis), never a global sort
+    ("warc_range_coalesce",
+     [r"hashpartitioning\(file_id#"],
+     [r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
