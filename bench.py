@@ -120,6 +120,14 @@ HEADLINE = [
     "ann_pq_adc",
     "spam_mass",
     "warc_range_coalesce",
+    # round 4f (cont.): ANF-curve diameter, SALSA, co-citation,
+    # Good-Turing saturation, keyword extraction, HRW sharding
+    "effective_diameter",
+    "salsa_scores",
+    "cocitation_pairs",
+    "gt_unseen_mass",
+    "tfidf_keywords",
+    "rendezvous_assign",
 ]
 
 

@@ -7031,10 +7031,15 @@ _ANF_T = 3            # radius: neighborhood function N(0..3)
 _ANF_RMAX = 61 - _ANF_P
 
 
-def _oracle_hyperanf_sql() -> str:
+def _oracle_hyperanf_sql(with_exact: bool = True) -> str:
     m, T, rmax = _ANF_M, _ANF_T, _ANF_RMAX
     alpha = _e(_ANF_ALPHA)
     raw = f"({alpha}) * {m} * {m} * (2 ** {rmax}) / s_int"
+    reach0 = (
+        ",\n    reach0 AS MATERIALIZED "
+        "(SELECT node AS v, node AS u FROM nodes)"
+        if with_exact else ""
+    )
     parts = [f"""
     e AS MATERIALIZED ({_pr_edges_sql()}),
     nodes AS MATERIALIZED (
@@ -7048,10 +7053,16 @@ def _oracle_hyperanf_sql() -> str:
       SELECT node, h % {m} AS bucket,
              CASE WHEN h // {m} = 0 THEN {rmax}
                   ELSE {rmax} - length(bin(h // {m})) END AS reg
-      FROM h),
-    reach0 AS MATERIALIZED (SELECT node AS v, node AS u FROM nodes)"""]
+      FROM h){reach0}"""]
     for i in range(T):
         n = i + 1
+        reach_n = f""",
+    reach{n} AS MATERIALIZED (
+      SELECT DISTINCT v, u FROM (
+        SELECT v, u FROM reach{i}
+        UNION ALL
+        SELECT r.v, e.dst AS u
+        FROM reach{i} r JOIN e ON e.src = r.u))""" if with_exact else ""
         parts.append(f"""
     reg{n} AS MATERIALIZED (
       SELECT node, bucket, MAX(reg) AS reg FROM (
@@ -7059,14 +7070,13 @@ def _oracle_hyperanf_sql() -> str:
         UNION ALL
         SELECT e.src AS node, r.bucket, r.reg
         FROM e JOIN reg{i} r ON r.node = e.dst)
-      GROUP BY node, bucket),
-    reach{n} AS MATERIALIZED (
-      SELECT DISTINCT v, u FROM (
-        SELECT v, u FROM reach{i}
-        UNION ALL
-        SELECT r.v, e.dst AS u
-        FROM reach{i} r JOIN e ON e.src = r.u))""")
+      GROUP BY node, bucket){reach_n}""")
     for t in range(T + 1):
+        exact_col = (
+            f"""
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM reach{t})
+               AS exact_pairs,""" if with_exact else ""
+        )
         parts.append(f"""
     s{t} AS (
       SELECT node, COUNT(*) AS n_present,
@@ -7080,9 +7090,7 @@ def _oracle_hyperanf_sql() -> str:
              {m} - n_present AS v_zero
       FROM s{t}),
     o{t} AS (
-      SELECT CAST({t} AS BIGINT) AS t,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM reach{t})
-               AS exact_pairs,
+      SELECT CAST({t} AS BIGINT) AS t,{exact_col}
              ROUND(SUM(CASE WHEN {raw} <= 2.5 * {m} AND v_zero > 0
                             THEN {m} * ln({m} * 1.0 / v_zero)
                             ELSE {raw} END), 4) AS est_sum
@@ -8975,6 +8983,572 @@ def q_warc_range_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4f: effective diameter from the ANF curve
+# ---------------------------------------------------------------------------
+
+@query(
+    "effective_diameter",
+    oracle=f"""
+    WITH curve AS (
+      SELECT t, est_sum FROM ({_oracle_hyperanf_sql(with_exact=False)})),
+    tgt AS (
+      SELECT ({_e(0.9)})
+             * (SELECT est_sum FROM curve ORDER BY t DESC LIMIT 1)
+               AS target),
+    lagd AS (
+      SELECT t, est_sum, LAG(est_sum) OVER (ORDER BY t) AS prev
+      FROM curve),
+    hit AS (
+      SELECT l.t, l.est_sum, l.prev, g.target
+      FROM lagd l CROSS JOIN tgt g
+      WHERE l.est_sum >= g.target
+      ORDER BY l.t LIMIT 1)
+    SELECT CAST(t AS BIGINT) AS t_hit,
+           ROUND(target, 4) AS nf_target,
+           ROUND(CASE WHEN prev IS NULL THEN CAST(t AS DOUBLE)
+                      ELSE t - 1 + (target - prev) / (est_sum - prev)
+                 END, 4) AS eff_diameter
+    FROM hit
+    """,
+    doc="90% effective diameter from the HyperANF neighborhood "
+        "function (Palmer, Gibbons & Faloutsos KDD 2002; the metric "
+        "of Boldi & Vigna's 'four degrees of separation' study): the "
+        "interpolated radius at which the reachable-pair count "
+        "reaches 90% of its saturation value — the one-number "
+        "summary a crawler uses to bound BFS frontier depth and "
+        "freshness-propagation horizons. Runs the SKETCH-ONLY "
+        "hyperanf chain (with_exact=False — the production shape; "
+        "the exact-closure twin exists only in hyperanf_nf's "
+        "verification contract), then derives the diameter from the "
+        "T+1-row curve: the lag window and top-1 are bounded by the "
+        "radius constant, never by the graph, so the single-"
+        "partition window is over 4 rows by construction. The 0.9 "
+        "threshold is injected in e-notation (shared-constant "
+        "contract) and the interpolation runs the same IEEE ops on "
+        "identically 4-dp-rounded curve points in both engines.",
+)
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    curve = hyperanf_rows(spark, sf_dir, with_exact=False)
+    tgt = (
+        curve.orderBy(F.desc("t"))
+        .limit(1)
+        .select((F.lit(0.9) * F.col("est_sum")).alias("target"))
+    )
+    lagd = curve.select(
+        "t", "est_sum", F.lag("est_sum").over(W.orderBy("t")).alias("prev")
+    )
+    hit = (
+        lagd.crossJoin(F.broadcast(tgt))  # 1-row target
+        .filter(F.col("est_sum") >= F.col("target"))
+        .orderBy("t")
+        .limit(1)
+    )
+    return hit.select(
+        F.col("t").cast("long").alias("t_hit"),
+        F.round("target", 4).alias("nf_target"),
+        F.round(
+            F.when(F.col("prev").isNull(), F.col("t").cast("double"))
+            .otherwise(
+                F.col("t")
+                - 1
+                + (F.col("target") - F.col("prev"))
+                / (F.col("est_sum") - F.col("prev"))
+            ),
+            4,
+        ).alias("eff_diameter"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4f: SALSA link analysis
+# ---------------------------------------------------------------------------
+
+_SALSA_ITERS = 3
+_SALSA_TOPK = 20
+
+
+def _oracle_salsa_sql(iters: int = _SALSA_ITERS) -> str:
+    """Unrolled-iteration DuckDB SALSA mirror: degree-normalized
+    half-steps with the same L1 normalization and 10-dp per-half-step
+    rounding as salsa_frames."""
+    parts = [f"""
+    e AS ({_pr_edges_sql()}),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    indeg AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS d
+              FROM e GROUP BY dst),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d
+               FROM e GROUP BY src),
+    s0 AS (SELECT node, 1.0 AS auth FROM nodes)"""]
+    for i in range(iters):
+        nxt = i + 1
+        parts.append(f"""
+    hr{i} AS (
+      SELECT e.src AS node, SUM(s.auth / ind.d) AS h
+      FROM e JOIN s{i} s ON s.node = e.dst
+             JOIN indeg ind ON ind.dst = e.dst
+      GROUP BY e.src),
+    hn{i} AS (
+      SELECT n.node, COALESCE(h.h, 0.0) AS h
+      FROM nodes n LEFT JOIN hr{i} h ON h.node = n.node),
+    hs{i} AS (SELECT SUM(h) AS hs FROM hn{i}),
+    h{nxt} AS (
+      SELECT node, ROUND(h / hs, 10) AS hub
+      FROM hn{i} CROSS JOIN hs{i}),
+    ar{i} AS (
+      SELECT e.dst AS node, SUM(h.hub / od.d) AS a
+      FROM e JOIN h{nxt} h ON h.node = e.src
+             JOIN outdeg od ON od.src = e.src
+      GROUP BY e.dst),
+    an{i} AS (
+      SELECT n.node, COALESCE(a.a, 0.0) AS a
+      FROM nodes n LEFT JOIN ar{i} a ON a.node = n.node),
+    asum{i} AS (SELECT SUM(a) AS asum FROM an{i}),
+    s{nxt} AS (
+      SELECT node, ROUND(a / asum, 10) AS auth
+      FROM an{i} CROSS JOIN asum{i})""")
+    return (
+        "WITH" + ",".join(parts) + f"""
+    SELECT s.node, ROUND(s.auth, 6) AS authority, ROUND(h.hub, 6) AS hub
+    FROM s{iters} s JOIN h{iters} h ON h.node = s.node
+    ORDER BY ROUND(s.auth, 6) DESC, s.node ASC
+    LIMIT {_SALSA_TOPK}
+    """
+    )
+
+
+def salsa_frames(
+    spark: SparkSession, sf_dir: str, iters: int = _SALSA_ITERS,
+    mod: int = _PR_MOD,
+) -> DataFrame:
+    """SALSA (Lempel & Moran WWW 2000) hubs + authorities: HITS's
+    mutual-reinforcement update with each contribution divided by the
+    target's degree — the stochastic two-walk variant whose scores
+    follow the random surfer rather than raw degree mass (the
+    link-analysis behind 'related pages' / who-to-follow systems).
+
+    Structurally identical to hits_frames with one change: the edge
+    traversal tables are DEGREE-WEIGHTED once up front (1/indeg(dst)
+    for the hub half-step, 1/outdeg(src) for the authority half-step)
+    and tracked-cached, so per round the work is still exactly two
+    node-keyed equi-join+sum passes, two 1-row L1-norm broadcasts, and
+    two lazy localCheckpoint lineage cuts — flat per-round cost, no
+    driver-side state that scales with the graph. Degree dims join
+    edge-keyed BEFORE the loop (node-sized, co-keyed with the edge
+    endpoint — never a data-sized shuffle inside the iteration).
+    """
+    edges = _event_edges(spark, sf_dir, mod)
+    nodes = tracked_cache(_event_nodes(edges))
+    indeg = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("double").alias("ind")
+    )
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outd")
+    )
+    # weighted traversal tables, built once and reused every round
+    e_auth2hub = tracked_cache(
+        edges.join(indeg, "dst").select(
+            "src", "dst", (F.lit(1.0) / F.col("ind")).alias("w")
+        )
+    )
+    e_hub2auth = tracked_cache(
+        edges.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("outd")).alias("w")
+        )
+    )
+    scores = nodes.select("node", F.lit(1.0).alias("auth"))
+    hubs = None
+    for _ in range(iters):
+        h_raw = (
+            e_auth2hub.join(scores.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("auth") * F.col("w")).alias("h"))
+        )
+        hubs_raw = (
+            nodes.join(h_raw, "node", "left")
+            .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
+            .localCheckpoint(eager=False)
+        )
+        hsum = hubs_raw.agg(F.sum("h").alias("hs"))
+        hubs = hubs_raw.crossJoin(F.broadcast(hsum)).select(
+            "node", F.round(F.col("h") / F.col("hs"), 10).alias("hub")
+        )
+        a_raw = (
+            e_hub2auth.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("hub") * F.col("w")).alias("a"))
+        )
+        auths_raw = (
+            nodes.join(a_raw, "node", "left")
+            .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        asum = auths_raw.agg(F.sum("a").alias("asum"))
+        scores = auths_raw.crossJoin(F.broadcast(asum)).select(
+            "node", F.round(F.col("a") / F.col("asum"), 10).alias("auth")
+        )
+    return scores.join(hubs, "node")
+
+
+@query(
+    "salsa_scores",
+    oracle=_oracle_salsa_sql(),
+    doc=f"SALSA hubs + authorities ({_SALSA_ITERS} unrolled rounds, "
+        "L1 norm, per-half-step 10-dp rounding) over the event-derived "
+        "link graph; top-20 nodes by authority with their hub score "
+        "(Lempel & Moran WWW 2000). Completes the link-analysis "
+        "ladder (PageRank / HITS / TrustRank / OPIC / spam-mass): "
+        "SALSA divides each contribution by the TARGET's degree, so "
+        "a hub farm pointing at one page no longer inflates it the "
+        "way raw HITS mass does — the TKC-effect fix that made "
+        "random-walk authority practical for related-page and "
+        "who-to-follow ranking. Scale shape: the degree weights are "
+        "folded into two cached edge tables BEFORE the loop, so each "
+        "round stays two equi-join+sum passes + 1-row norm broadcasts "
+        "+ per-round localCheckpoint lineage cuts, exactly like "
+        "hits_scores; per-round cost flat in iteration count.",
+)
+def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = salsa_frames(spark, sf_dir, _SALSA_ITERS)
+    return (
+        s.select(
+            "node",
+            F.round("auth", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), F.asc("node"))
+        .limit(_SALSA_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4f: co-citation related pages
+# ---------------------------------------------------------------------------
+
+_CO_CAP = 60      # max outdegree of a citing page (fanout cap)
+_CO_TOPK = 20
+
+
+@query(
+    "cocitation_pairs",
+    oracle=f"""
+    WITH e AS ({_pr_edges_sql()}),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    keep AS (SELECT src FROM deg WHERE d <= {_CO_CAP}),
+    ek AS (SELECT e.src, e.dst FROM e JOIN keep k ON k.src = e.src),
+    c AS (
+      SELECT a.dst AS v, b.dst AS w, COUNT(*) AS cocites
+      FROM ek a JOIN ek b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY a.dst, b.dst)
+    SELECT v, w, CAST(cocites AS BIGINT) AS cocites
+    FROM c
+    ORDER BY cocites DESC, v ASC, w ASC
+    LIMIT {_CO_TOPK}
+    """,
+    doc="Co-citation related pages (Small JASIS 1973; Dean & "
+        "Henzinger WWW 1999 'Finding related pages'): two pages are "
+        "related in proportion to how many pages link to BOTH — the "
+        "query-independent similarity that link-only recommenders "
+        "and crawl seed-expansion use. Top-20 co-cited pairs by "
+        "citing-page count. Scale shape: the pair generator is an "
+        "equi-self-join keyed on the CITING page, and citing pages "
+        f"with outdegree > {_CO_CAP} are dropped BEFORE the join "
+        "(Dean & Henzinger's fanout cap — a mega-hub linking to "
+        "everything asserts no real topical association), so "
+        "per-source pair fanout is bounded by cap^2/2 and the join "
+        "never degenerates toward all-pairs; the pair count is one "
+        "map-side-combinable aggregate and the head is a top-k. The "
+        "same df-capped-block discipline as sparse_cosine_pairs, on "
+        "the link axis instead of the token axis.",
+)
+def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _event_edges(spark, sf_dir)
+    keep = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).filter(
+        F.col("d") <= _CO_CAP
+    ).select("src")
+    ek = tracked_cache(edges.join(keep, "src"))
+    pairs = (
+        ek.alias("a")
+        .join(ek.alias("b"), "src")
+        .filter(F.col("a.dst") < F.col("b.dst"))
+        .groupBy(
+            F.col("a.dst").alias("v"), F.col("b.dst").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("cocites"))
+    )
+    return pairs.orderBy(
+        F.desc("cocites"), F.asc("v"), F.asc("w")
+    ).limit(_CO_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Round 4f: Good-Turing unseen-mass estimate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gt_unseen_mass",
+    oracle="""
+    WITH toks AS (
+      SELECT source, t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    freq AS (
+      SELECT source, t, COUNT(*) AS cnt FROM toks GROUP BY source, t)
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dis,
+           ROUND(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1.0
+                 / SUM(cnt), 6) AS unseen_mass
+    FROM freq
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Good-Turing unseen-probability mass per source (Good "
+        "Biometrika 1953; Gale & Sampson 1995): P(next token is "
+        "novel) ~ n1/N, the hapax-legomena fraction — the corpus-"
+        "saturation diagnostic that tells a crawler whether a source "
+        "is exhausted (unseen mass -> 0: more crawling re-reads the "
+        "same vocabulary) or still productive, and complements "
+        "vocab_coverage's rank curve with a single forward-looking "
+        "number. Also reports the dis-legomena count n2, the other "
+        "input to the full GT discount. Scale shape: one (source, "
+        "token)-keyed count aggregate (map-side combined) collapses "
+        "the corpus to vocabulary-sized state, then one source-keyed "
+        "conditional-sum pass — the frequency-of-frequencies never "
+        "materializes per-document state, and no token row survives "
+        "past the first aggregate.",
+)
+def q_gt_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        D.spread(docs)
+        .select("source", F.explode(D.tokens_col("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    one = F.when(F.col("cnt") == 1, 1).otherwise(0)
+    two = F.when(F.col("cnt") == 2, 1).otherwise(0)
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(one).cast("long").alias("hapax"),
+            F.sum(two).cast("long").alias("dis"),
+            F.round(
+                F.sum(one) * F.lit(1.0) / F.sum("cnt"), 6
+            ).alias("unseen_mass"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4f: per-document tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+_KW_PER_DOC = 3
+_KW_TOPK = 20
+
+
+@query(
+    "tfidf_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks
+           GROUP BY doc_id, t),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+          FROM tf),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    sc AS (
+      SELECT f.doc_id, f.t,
+             ROUND(f.tf * ln((SELECT n_docs FROM n) / df.df), 6)
+               AS tfidf
+      FROM tf f JOIN df ON df.t = f.t),
+    r AS (
+      SELECT doc_id, t, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, t ASC) AS rnk
+      FROM sc QUALIFY rnk <= {_KW_PER_DOC})
+    SELECT doc_id, t AS term, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM r
+    ORDER BY tfidf DESC, doc_id ASC, term ASC
+    LIMIT {_KW_TOPK}
+    """,
+    doc=f"Per-document tf-idf keyword extraction: the top-"
+        f"{_KW_PER_DOC} most distinctive terms of every document "
+        "(Salton & Buckley 1988's weighting, Jones 1972's idf) — the "
+        "metadata-tagging / faceting pass a training-data pipeline "
+        "runs to label documents for mixture construction and topical "
+        "filtering. Differs from idf_doc_score (a per-doc MEAN idf "
+        "scalar) by keeping the argmax terms, which needs a per-doc "
+        "ranking. Scale shape: tf is one (doc, term)-keyed count "
+        "aggregate; df/N collapse to a vocabulary-sized dim joined "
+        "back on the term key; the rank window partitions on DOC_ID — "
+        "the axis that grows — so every partition holds one "
+        "document's vocabulary and the window never concentrates "
+        "corpus-sized data on one task (unlike a global-sort top-k); "
+        "the cross-engine tie contract is the 6-dp-rounded score with "
+        "the term string as tiebreaker, and only the bounded final "
+        f"head (top-{_KW_TOPK} overall) leaves the executors.",
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        D.spread(docs)
+        .select("doc_id", F.explode(D.tokens_col("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tracked_cache(tf)
+    n_docs = float(tf.select("doc_id").distinct().count())
+    df_dim = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    sc = tf.join(df_dim, "t").select(
+        "doc_id",
+        "t",
+        F.round(
+            F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("t"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KW_PER_DOC)
+        .select(
+            "doc_id",
+            F.col("t").alias("term"),
+            "tfidf",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
+        .limit(_KW_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4f: rendezvous (HRW) shard assignment
+# ---------------------------------------------------------------------------
+
+_HRW_BEFORE = 8   # shard count before the resize
+_HRW_AFTER = 9    # one shard added
+
+
+def _hrw_weight_sql(s_expr: str) -> str:
+    return (
+        "CAST(('0x' || substr(md5('hrw|' || k || '|' || "
+        f"CAST({s_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+
+
+@query(
+    "rendezvous_assign",
+    oracle=f"""
+    WITH keys AS (
+      SELECT 'doc' || CAST(doc_id AS VARCHAR) AS k FROM documents),
+    w AS (
+      SELECT k, s, {_hrw_weight_sql('s')} AS wt
+      FROM keys,
+           UNNEST(generate_series(0, {_HRW_AFTER - 1})) AS u(s)),
+    a8 AS (
+      SELECT k, s AS shard FROM w WHERE s < {_HRW_BEFORE}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY k
+                                 ORDER BY wt DESC, s DESC) = 1),
+    a9 AS (
+      SELECT k, s AS shard FROM w
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY k
+                                 ORDER BY wt DESC, s DESC) = 1),
+    before AS (
+      SELECT shard, COUNT(*) AS n_before FROM a8 GROUP BY shard),
+    after AS (
+      SELECT a9.shard, COUNT(*) AS n_after,
+             SUM(CASE WHEN a9.shard <> a8.shard THEN 1 ELSE 0 END)
+               AS moved_in
+      FROM a9 JOIN a8 ON a8.k = a9.k
+      GROUP BY a9.shard)
+    SELECT COALESCE(b.shard, a.shard) AS shard,
+           CAST(COALESCE(b.n_before, 0) AS BIGINT) AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST(COALESCE(a.moved_in, 0) AS BIGINT) AS moved_in
+    FROM before b FULL OUTER JOIN after a ON a.shard = b.shard
+    ORDER BY shard
+    """,
+    doc=f"Rendezvous / highest-random-weight shard assignment "
+        "(Thaler & Ravishankar ToN 1998 — the consistent-placement "
+        "scheme behind cache/crawler sharding): every key goes to "
+        "argmax over shards of hash(key, shard), so growing "
+        f"{_HRW_BEFORE}->{_HRW_AFTER} shards moves EXACTLY the keys "
+        "the new shard wins (~1/9 of them) and nothing else — the "
+        "property that lets a crawl fleet resize without re-fetching "
+        "or re-bucketing the other shards' frontiers. Reports, per "
+        "shard, the population before and after the resize and how "
+        "many keys moved IN (zero for every pre-existing shard — "
+        "pinned by the law test). Scale shape: the weight vector is "
+        "a shard-count-bounded array built IN THE SCAN PROJECTION "
+        "(array_max over 9 structs — no explode, no shuffle, no "
+        "per-key state), so assignment is embarrassingly parallel; "
+        "the two shard-keyed count aggregates and the 9-row outer "
+        "join are the only exchanges. The md5 weights follow the "
+        "repo-wide 60-bit contract; ties (never observed at 60 bits) "
+        "break identically via the (weight, shard) struct order on "
+        "both engines.",
+)
+def q_rendezvous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.concat(F.lit("doc"), F.col("doc_id").cast("string"))
+
+    def wt(s: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hrw|"), k, F.lit("|"), s.cast("string")
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(_HRW_AFTER - 1)),
+        lambda s: F.struct(wt(s).alias("wt"), s.alias("s")),
+    )
+    assigned = tracked_cache(
+        _t(spark, sf_dir, "documents").select(
+            F.array_max(F.slice(arr, 1, _HRW_BEFORE))["s"].alias("a8"),
+            F.array_max(arr)["s"].alias("a9"),
+        )
+    )
+    before = assigned.groupBy(F.col("a8").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = assigned.groupBy(F.col("a9").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum(
+            F.when(F.col("a9") != F.col("a8"), 1).otherwise(0)
+        ).alias("moved_in"),
+    )
+    return (
+        before.join(after, "shard", "full_outer")
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.coalesce("moved_in", F.lit(0)).alias("moved_in"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 
@@ -9063,6 +9637,12 @@ _DRIVER_QUEUE_NEXT = [
     "lsh_delta_pairs",
     "spam_mass",
     "warc_range_coalesce",
+    "effective_diameter",
+    "salsa_scores",
+    "cocitation_pairs",
+    "gt_unseen_mass",
+    "tfidf_keywords",
+    "rendezvous_assign",
 ]
 
 

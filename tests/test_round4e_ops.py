@@ -919,3 +919,39 @@ class TestWarcRangeCoalesce:
             sum(r.range_end - r.range_start - r.wasted_bytes for r in rows)
             == sum(c.rec_length for c in wanted)
         )
+
+
+class TestEffectiveDiameter:
+    def test_interpolation_matches_python_mirror(self, spark):
+        from edgar_crawler_spark.queries import hyperanf_rows
+
+        curve = [
+            (r.t, r.est_sum)
+            for r in hyperanf_rows(
+                spark, SF_SMALL, with_exact=False
+            ).collect()
+        ]
+        target = 0.9 * curve[-1][1]
+        exp = None
+        for (t, nf), (_, prev) in zip(curve, [(None, None)] + curve[:-1]):
+            if nf >= target:
+                exp = (
+                    float(t)
+                    if prev is None
+                    else t - 1 + (target - prev) / (nf - prev)
+                )
+                break
+        row = QUERIES["effective_diameter"].fn(spark, SF_SMALL).collect()[0]
+        assert row.t_hit == next(t for t, nf in curve if nf >= target)
+        assert row.nf_target == round(target, 4)
+        assert abs(row.eff_diameter - exp) < 5e-4
+
+    def test_diameter_bounded_by_radius_and_monotone_target(self, spark):
+        from edgar_crawler_spark.queries import _ANF_T
+
+        row = QUERIES["effective_diameter"].fn(spark, SF_SMALL).collect()[0]
+        # the 90% point lies inside the computed radius window, and the
+        # N(t) curve is monotone so interpolation never extrapolates
+        assert 0.0 <= row.eff_diameter <= _ANF_T
+        assert row.t_hit <= _ANF_T
+        assert row.eff_diameter <= row.t_hit

@@ -564,6 +564,47 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"hashpartitioning\(file_id#"],
      [r"\+- Sort .*global=true",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # effective diameter: lag window + target over the T+1-row ANF
+    # curve (radius-bounded, never data-sized); the curve's per-round
+    # registers are checkpointed RDDs, the 1-row target broadcasts,
+    # the hit row is a top-1 — no SMJ, no python
+    ("effective_diameter",
+     [r"TakeOrderedAndProject", r"Scan ExistingRDD",
+      r"BroadcastNestedLoopJoin"],
+     [r"SortMergeJoin",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # SALSA: per-half-step checkpointed frames (hits discipline), the
+    # degree-weighted edge tables cached, 1-row norm broadcasts, top-k
+    ("salsa_scores",
+     [r"TakeOrderedAndProject", r"Scan ExistingRDD",
+      r"BroadcastNestedLoopJoin"],
+     [r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # co-citation: pair generator is an EQUI-join on the citing page
+    # (fanout-capped), pair counts map-side combined, head is top-k
+    ("cocitation_pairs",
+     [r"TakeOrderedAndProject", r"partial_count"],
+     [r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # Good-Turing: (source, token) agg collapses the corpus to
+    # vocabulary-sized state map-side; no python, no pair joins
+    ("gt_unseen_mass",
+     [r"partial_count"],
+     [r"CartesianProduct", r"SortMergeJoin",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # keywords: the rank window partitions on doc_id (the growing
+    # axis), tf map-side combined, final head a top-k
+    ("tfidf_keywords",
+     [r"hashpartitioning\(doc_id#", r"partial_count",
+      r"TakeOrderedAndProject"],
+     [r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # HRW: assignment is a scan projection (array_max over 9 structs)
+    # — no Generate/explode, no per-key shuffle before the two
+    # shard-keyed aggs
+    ("rendezvous_assign",
+     [r"partial_count"],
+     [r"Generate", r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
