@@ -9261,9 +9261,21 @@ _CO_TOPK = 20
         "the link axis instead of the token axis.",
 )
 def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _event_edges(spark, sf_dir)
+    return cocitation_counts(spark, sf_dir)
+
+
+def cocitation_counts(
+    spark: SparkSession, sf_dir: str, mod: int = _PR_MOD,
+    cap: int = _CO_CAP, topk: int = _CO_TOPK,
+) -> DataFrame:
+    """Fanout-capped co-citation pair counts with a parameterizable
+    node space — the registered query pins (mod, cap) for the oracle;
+    the 100x probe grows `mod` with the event count (the rank-builder
+    rule) so average outdegree, and therefore the cap's bite, stays
+    comparable as the log replicates."""
+    edges = _event_edges(spark, sf_dir, mod=mod)
     keep = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).filter(
-        F.col("d") <= _CO_CAP
+        F.col("d") <= cap
     ).select("src")
     ek = tracked_cache(edges.join(keep, "src"))
     pairs = (
@@ -9277,7 +9289,7 @@ def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.orderBy(
         F.desc("cocites"), F.asc("v"), F.asc("w")
-    ).limit(_CO_TOPK)
+    ).limit(topk)
 
 
 # ---------------------------------------------------------------------------

@@ -220,6 +220,14 @@ def main() -> None:
         # range coalescing: per-file windows over the 100x record
         # stream — the file axis is what grows
         "warc_range_coalesce",
+        # round 4f. good-turing: (source, token)-keyed count agg over
+        # the salted 100x token stream (per-copy df constant -> the
+        # frequency table grows linearly); tfidf keywords: (doc,term)
+        # tf agg + doc_id-partitioned rank window, both axes linear;
+        # HRW: scan-projection assignment + 9-group aggs
+        "gt_unseen_mass",
+        "tfidf_keywords",
+        "rendezvous_assign",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:
@@ -293,10 +301,13 @@ def main() -> None:
         hyperanf_rows,
     )
 
+    from edgar_crawler_spark.queries import salsa_frames  # noqa: PLC0415
+
     graph = [
         ("pagerank_ranks", pagerank_ranks),
         ("hits_frames", hits_frames),
         ("trustrank_ranks", trustrank_ranks),
+        ("salsa_frames", salsa_frames),
         # sketch-only at scale (with_exact=False): the closure twin is
         # the toy-scale verification column, O(N^2) by definition
         ("hyperanf_rows", lambda spark, sf, iters, mod: hyperanf_rows(
@@ -324,6 +335,32 @@ def main() -> None:
             "edges": "36.5k->3.99M (109x)",
         }
         print(f"{name + '@mod20000':28s} {t_small:7.2f}s -> "
+              f"{t_big:7.2f}s  x{t_big / t_small:6.2f}", file=sys.stderr)
+
+    # co-citation: the pair join is keyed on the citing page with the
+    # outdegree cap bounding fanout; the node-space mod grows with the
+    # event count (rank-builder rule) so average outdegree — and the
+    # per-source pair fanout — stays comparable while sources x100
+    from edgar_crawler_spark.queries import cocitation_counts  # noqa: PLC0415
+
+    if ("--policy-only" not in sys.argv) and (
+        not only or "cocitation_pairs" in only
+    ):
+        t0 = time.perf_counter()
+        force(cocitation_counts(spark, SRC, mod=20000))
+        t_small = time.perf_counter() - t0
+        release_caches()
+        t0 = time.perf_counter()
+        force(cocitation_counts(spark, DST, mod=2000000))
+        t_big = time.perf_counter() - t0
+        release_caches()
+        out["cocitation_pairs@mod2M"] = {
+            "sf0.1_sec": round(t_small, 3),
+            "x100_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+            "mod": "20k->2M (degree-matched)",
+        }
+        print(f"{'cocitation_pairs@mod2M':28s} {t_small:7.2f}s -> "
               f"{t_big:7.2f}s  x{t_big / t_small:6.2f}", file=sys.stderr)
 
     # semdedup k-policy probe: per-cluster size held ~constant by
