@@ -128,6 +128,15 @@ HEADLINE = [
     "gt_unseen_mass",
     "tfidf_keywords",
     "rendezvous_assign",
+    # round 4f (cont.): block-max pruned retrieval, vocabulary-growth
+    # fit, crawl-delta novelty
+    "wand_topk",
+    "heaps_law",
+    "shingle_novelty",
+    # round 4g: CCNet ppl gate, hashed linear classifier, EF size model
+    "ccnet_ppl_buckets",
+    "hashed_classifier_score",
+    "ef_postings_size",
 ]
 
 

@@ -9561,6 +9561,645 @@ def q_rendezvous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4f: Block-Max pruned top-k retrieval (consumes the
+# block_max_index skip metadata design)
+# ---------------------------------------------------------------------------
+
+# mixed-df query — one rare, selective term + two common ones: the
+# asymmetry WAND exploits (a uniformly-common query has a flat impact
+# landscape and nothing to skip). At the fixture SF this prunes ~60%
+# of blocks; an all-common query (bm25_topk's terms) prunes zero.
+_WAND_TERMS = ("dup", "spark", "table")
+_WAND_K = 10
+_WAND_BLOCK = 8   # docid span per block — sized to the 500-doc
+                  # fixture so blocks outnumber top-k candidates;
+                  # production spans (64-128) assume web-scale docid
+                  # ranges, same plan either way
+
+
+@query(
+    "wand_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM toks
+      WHERE t IN {str(tuple(_WAND_TERMS))}
+      GROUP BY doc_id, t),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    w AS (
+      SELECT tf.doc_id, ROUND(tf.tf * ln(nn.n / df.df), 6) AS w
+      FROM tf JOIN df USING (t) CROSS JOIN nn),
+    s AS (
+      SELECT doc_id, ROUND(SUM(w), 6) AS score,
+             COUNT(*) AS n_terms
+      FROM w GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
+           CAST(n_terms AS BIGINT) AS n_terms
+    FROM s
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {_WAND_K}
+    """,
+    doc=f"Block-Max pruned top-{_WAND_K} retrieval (Ding & Suel "
+        "SIGIR'11; Broder et al. CIKM'03 WAND): executes the query "
+        f"{_WAND_TERMS} with tf-idf impacts and EXACT results, but "
+        "scores only documents in doc-id blocks whose upper bound "
+        "(sum of per-term block-max impacts — exactly the "
+        "block_max_index metadata) can reach the entry threshold. "
+        "The threshold is the k-th best per-doc MAX single-term "
+        "impact: total(d) >= max_term(d) pointwise, so the k-th "
+        "total >= that theta and pruning ub < theta is provably "
+        "safe — the oracle is the plain unpruned top-k and must "
+        "agree exactly. Scale shape: the isin filter bounds postings "
+        "to the query vocabulary in the scan; theta is a "
+        "TakeOrderedAndProject + 1-row broadcast; the block-UB table "
+        "has one row per (term, block) and survivors prune the "
+        "scoring input via a block-keyed semi-join (block count "
+        "grows with the corpus, so it joins — never collected); "
+        "the final head is a top-k. This is the query-time consumer "
+        "of block_max_index's skip metadata, demonstrating the "
+        "pruning actually composes in one declarative plan.",
+)
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        D.spread(docs)
+        # explode_outer: keeps the tokenizer out of any synthesized
+        # scan-level size() predicate on older Sparks (the
+        # ngram_contamination lesson, PLANS.md; 4.1 no longer pushes
+        # it, block_max_index precedent) — isin drops the null row
+        .select(
+            "doc_id",
+            F.explode_outer(D.tokens_col("text")).alias("t"),
+        )
+        .filter(F.col("t").isin(*_WAND_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tracked_cache(tf)
+    nn = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    df_dim = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(df_dim), "t")
+        .crossJoin(F.broadcast(nn))  # 1-row corpus size
+        .select(
+            "doc_id",
+            "t",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+            ).alias("w"),
+            F.floor(F.col("doc_id") / _WAND_BLOCK).cast("long")
+            .alias("block"),
+        )
+    )
+    w = tracked_cache(w)
+    theta = (
+        w.groupBy("doc_id")
+        .agg(F.max("w").alias("mw"))
+        .orderBy(F.desc("mw"), F.asc("doc_id"))
+        .limit(_WAND_K)
+        .agg(F.min("mw").alias("theta"))
+    )
+    block_ub = (
+        w.groupBy("t", "block")
+        .agg(F.max("w").alias("bw"))
+        .groupBy("block")
+        .agg(F.sum("bw").alias("ub"))
+    )
+    keep = (
+        block_ub.crossJoin(F.broadcast(theta))  # 1-row threshold
+        .filter(F.col("ub") >= F.col("theta"))
+        .select("block")
+    )
+    return (
+        w.join(keep, "block", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("w"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_WAND_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4f: Heaps' law vocabulary-growth fit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "heaps_law",
+    oracle="""
+    WITH toks AS (
+      SELECT source, t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    freq AS (SELECT source, t, COUNT(*) AS cnt
+             FROM toks GROUP BY source, t),
+    pts AS (
+      SELECT ln(SUM(cnt) * 1.0) AS x, ln(COUNT(*) * 1.0) AS y
+      FROM freq GROUP BY source),
+    s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS beta,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 4) AS ln_k
+    FROM s
+    """,
+    doc="Heaps' law fit (Heaps 1978; Herdan 1960): V = K * N^beta — "
+        "closed-form OLS of ln(vocab) on ln(token count) across the "
+        "per-source sub-corpora. Natural text sits near beta ~ 0.5; "
+        "beta drifting toward 0 marks template/boilerplate sources "
+        "whose vocabulary has saturated, toward 1 marks id-spam or "
+        "generated gibberish whose 'vocabulary' never repeats — the "
+        "cross-source complement to gt_unseen_mass's within-source "
+        "saturation number and zipf_slope's frequency-decay fit. "
+        "Scale shape: identical to zipf_slope — one (source, token) "
+        "count aggregate (map-side combined) collapses the corpus to "
+        "vocabulary-sized state, the per-source (N, V) points are a "
+        "source-count-sized table, and the OLS moments reduce them "
+        "to one row; the regression never sees corpus-sized data.",
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        D.spread(docs)
+        .select("source", F.explode(D.tokens_col("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pts = freq.groupBy("source").agg(
+        F.log(F.sum("cnt") * F.lit(1.0)).alias("x"),
+        F.log(F.count(F.lit(1)) * F.lit(1.0)).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 4).alias("beta"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
+        ).alias("ln_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4f: crawl-delta shingle novelty
+# ---------------------------------------------------------------------------
+
+_NOV_DELTA_MOD = 10   # same base/delta split as lsh_delta_pairs
+_NOV_DELTA_MIN = 8
+
+
+@query(
+    "shingle_novelty",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             substr(md5(w[i] || ' ' || w[i + 1]), 1, 16) AS h
+      FROM tk, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2),
+    base AS (
+      SELECT DISTINCT h FROM sh
+      WHERE doc_id % {_NOV_DELTA_MOD} < {_NOV_DELTA_MIN}),
+    delta AS (
+      SELECT DISTINCT source, h FROM sh
+      WHERE doc_id % {_NOV_DELTA_MOD} >= {_NOV_DELTA_MIN})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_delta,
+           CAST(SUM(CASE WHEN b.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(SUM(CASE WHEN b.h IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS novelty
+    FROM delta d LEFT JOIN base b ON b.h = d.h
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="Crawl-increment shingle novelty per source: of the distinct "
+        "bigram shingles in the new DELTA (doc_id % "
+        f"{_NOV_DELTA_MOD} >= {_NOV_DELTA_MIN}, the lsh_delta_pairs "
+        "split), what fraction was never seen in the accumulated "
+        "BASE — the freshness-yield metric a recurring crawl uses to "
+        "decide which sources still pay for re-crawling (novelty -> 0 "
+        "means fetches re-download known content; pairs with "
+        "recrawl_schedule's change-rate estimate and gt_unseen_mass's "
+        "within-corpus saturation). Scale shape: shingles are "
+        "md5-hashed IN THE SCAN PROJECTION (the dup_span_profile "
+        "discipline — 16-hex keys shuffle, text never does; the "
+        "oracle hashes identically so parity is exact by "
+        "construction), base and delta collapse to DISTINCT hash "
+        "sets, and novelty is one hash-keyed anti-join shape "
+        "(left join + null test) feeding a source-keyed conditional "
+        "sum. At 100 TB the base set is a stored bucket-partitioned "
+        "table maintained incrementally, exactly like the "
+        "lsh_delta_pairs band index.",
+)
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.spread(docs).select(
+        "doc_id",
+        "source",
+        F.explode_outer(
+            D.ngrams_col(D.tokens_col("text"), 2)
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull()).select(
+        "doc_id", "source",
+        F.substring(F.md5("g"), 1, 16).alias("h"),
+    )
+    sh = tracked_cache(sh)
+    base = (
+        sh.filter(F.col("doc_id") % _NOV_DELTA_MOD < _NOV_DELTA_MIN)
+        .select("h")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    delta = (
+        sh.filter(F.col("doc_id") % _NOV_DELTA_MOD >= _NOV_DELTA_MIN)
+        .select("source", "h")
+        .distinct()
+    )
+    novel = F.when(F.col("seen").isNull(), 1).otherwise(0)
+    return (
+        delta.join(base, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel) * F.lit(1.0) / F.count(F.lit(1)), 6)
+            .alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4g: CCNet-style reference-LM perplexity bucketing
+# ---------------------------------------------------------------------------
+
+_CCNET_REF_SRC = "src0"  # the trusted-domain corpus (CCNet's Wikipedia)
+_CCNET_A = 0.5           # additive-smoothing mass
+_CCNET_HEAD = 1.1        # head/middle cut, x ref-corpus mean xent
+_CCNET_MID = 1.175       # middle/tail cut
+
+
+@query(
+    "ccnet_ppl_buckets",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+      FROM tk, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2),
+    ref AS (SELECT w1, w2 FROM bg WHERE source = '{_CCNET_REF_SRC}'),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM ref GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM ref GROUP BY 1),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v
+          FROM (SELECT w1 AS t FROM ref UNION SELECT w2 FROM ref)),
+    dx AS (
+      SELECT doc_id, source,
+             ROUND(AVG(-ln((COALESCE(c2.c2, 0) + {_e(_CCNET_A)})
+                           / (COALESCE(c1.c1, 0)
+                              + {_e(_CCNET_A)} * v.v))), 6) AS x
+      FROM bg LEFT JOIN c2 USING (w1, w2)
+              LEFT JOIN c1 USING (w1)
+              CROSS JOIN v
+      GROUP BY doc_id, source),
+    m AS (SELECT ROUND(AVG(x), 6) AS m FROM dx
+          WHERE source = '{_CCNET_REF_SRC}')
+    SELECT CASE WHEN x <= ROUND(m * {_e(_CCNET_HEAD)}, 6) THEN 'head'
+                WHEN x <= ROUND(m * {_e(_CCNET_MID)}, 6) THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           ROUND(AVG(x), 6) AS mean_xent
+    FROM dx CROSS JOIN m
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. LREC'20): "
+        f"train a bigram LM (add-{_CCNET_A} smoothing) on the trusted "
+        f"reference sub-corpus ('{_CCNET_REF_SRC}', playing CCNet's "
+        "Wikipedia), score every document's cross-entropy under it, "
+        "and split the corpus into head/middle/tail relative to the "
+        "reference corpus's own mean — the canonical LM-data quality "
+        "gate (keep head, sample middle, drop tail). Buckets cut at "
+        f"{_CCNET_HEAD}x / {_CCNET_MID}x the reference mean rather "
+        "than per-source tertiles so there is NO corpus-wide sort: "
+        "thresholds are a 1-row broadcast. Scale shape: the LM is "
+        "vocabulary^2-bounded (model-sized, broadcast to the scoring "
+        "join exactly like kmeans' centroid literals); per-doc "
+        "scoring is one avg agg over the bigram stream (map-side "
+        "combined, keyed on doc_id — the growing axis); docs with "
+        "<2 tokens carry no bigram evidence and are excluded "
+        "(documented). Constants injected in e-notation "
+        "(shared-constant discipline). Complements bigram_lm_xent "
+        "(corpus-level) with the per-document decision CCNet "
+        "actually ships.",
+)
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tk = (
+        D.spread(docs)
+        .select("doc_id", "source", D.tokens_col("text").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    bg = (
+        tk.select(
+            "doc_id",
+            "source",
+            F.explode_outer(D.ngrams_col(F.col("w"), 2)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.substring_index("g", " ", 1).alias("w1"),
+            F.substring_index("g", " ", -1).alias("w2"),
+        )
+    )
+    bg = tracked_cache(bg)
+    ref = bg.filter(F.col("source") == _CCNET_REF_SRC)
+    c2 = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = ref.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        ref.select(F.col("w1").alias("t"))
+        .union(ref.select(F.col("w2").alias("t")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    a = F.lit(_CCNET_A)
+    term = -F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + a)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + a * F.col("v"))
+    )
+    dx = (
+        bg.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .crossJoin(F.broadcast(v))  # 1-row vocab size
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.avg(term), 6).alias("x"))
+    )
+    dx = tracked_cache(dx)
+    m = (
+        dx.filter(F.col("source") == _CCNET_REF_SRC)
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    bucket = (
+        F.when(
+            F.col("x") <= F.round(F.col("m") * F.lit(_CCNET_HEAD), 6),
+            "head",
+        )
+        .when(
+            F.col("x") <= F.round(F.col("m") * F.lit(_CCNET_MID), 6),
+            "middle",
+        )
+        .otherwise("tail")
+    )
+    return (
+        dx.crossJoin(F.broadcast(m))  # 1-row threshold base
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.round(F.avg("x"), 6).alias("mean_xent"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4g: hashed linear quality classifier (fastText-style)
+# ---------------------------------------------------------------------------
+
+_HCLS_B = 64       # feature-hash buckets
+_HCLS_SCALE = 12.0  # logit scale on the mean bucket weight
+
+
+@query(
+    "hashed_classifier_score",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    feats AS (
+      SELECT doc_id, source, t FROM tk, UNNEST(toks) AS u(t)
+      UNION ALL
+      SELECT doc_id, source, t
+      FROM tk, UNNEST([toks[i] || '|' || toks[i+1]
+                       for i in generate_series(1, len(toks) - 1)]) AS u(t)),
+    fb AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_HCLS_B}
+               AS b
+      FROM feats),
+    w AS (
+      SELECT doc_id, source,
+             AVG(((b * 37 + 11) % 101 - 50) / 100.0) AS aw,
+             COUNT(*) AS nf
+      FROM fb GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id, source, nf,
+             1.0 / (1.0 + exp(-{_e(_HCLS_SCALE)} * aw)) AS sc
+      FROM w)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN sc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           ROUND(SUM(CASE WHEN sc >= 0.5 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS keep_rate,
+           ROUND(AVG(sc), 6) AS mean_score
+    FROM s GROUP BY source ORDER BY source
+    """,
+    doc="fastText-style hashed linear quality classifier (Joulin et "
+        "al. EACL'17; the GPT-3/DCLM quality-filter shape): features "
+        "are unigrams + bigrams hashed into "
+        f"{_HCLS_B} buckets (the dsir_select feature map), the "
+        "document logit is the MEAN bucket weight scaled by "
+        f"{_HCLS_SCALE}, and the keep decision is sigmoid >= 0.5. "
+        "Weights here are a deterministic integer-arithmetic stand-in "
+        "((b*37+11) % 101 - 50)/100 for a trained vector — exactly "
+        "the plumbing a real fastText export drops into (a "
+        f"{_HCLS_B}-entry broadcast map). Scale shape: the weight is "
+        "computed IN the projection from the bucket id (integer ops, "
+        "cross-engine exact — no join at all; a trained model would "
+        "be a broadcast dim), per-doc mean is one map-side-combined "
+        "agg keyed on doc_id, per-source keep rates a second "
+        "sources-bounded agg. Corpus text is scanned once; nothing "
+        "corpus-sized shuffles except the (doc, bucket-weight-sum) "
+        "partials.",
+)
+def q_hashed_classifier_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tk = D.spread(docs).select(
+        "doc_id", "source", D.tokens_col("text").alias("toks")
+    )
+    uni = tk.select("doc_id", "source", F.explode("toks").alias("t"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(toks[i-1], '|', toks[i]))"
+        ),
+    )  # NULL (not empty array) for 1-token docs -> explode_outer
+    big = (
+        tk.select("doc_id", "source", F.explode_outer(bigrams).alias("t"))
+        .filter(F.col("t").isNotNull())
+    )
+    b = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+        % _HCLS_B
+    )
+    wgt = ((b * 37 + 11) % 101 - 50) / F.lit(100.0)
+    sc = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-F.lit(_HCLS_SCALE) * F.col("aw"))
+    )
+    per_doc = (
+        uni.unionByName(big)
+        .select("doc_id", "source", wgt.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.avg("w").alias("aw"))
+        .select("source", sc.alias("sc"))
+    )
+    keep = (F.col("sc") >= 0.5).cast("long")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(keep).cast("long").alias("n_keep"),
+            F.round(F.sum(keep) * F.lit(1.0) / F.count(F.lit(1)), 6)
+            .alias("keep_rate"),
+            F.round(F.avg("sc"), 6).alias("mean_score"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4g: Elias-Fano postings size model
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ef_postings_size",
+    oracle="""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    post AS (
+      SELECT DISTINCT t, doc_id
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    df AS (SELECT t, COUNT(*) AS df FROM post GROUP BY t),
+    g AS (
+      SELECT t, df, length(bin(nn.n // df)) AS l
+      FROM df CROSS JOIN nn),
+    c AS (
+      SELECT t, df, l,
+             df * (l + 1) AS ef_bits,
+             df * 8 * ((l + 6) // 7) AS vb_bits
+      FROM g)
+    SELECT CAST(l AS BIGINT) AS gap_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(df) AS BIGINT) AS n_postings,
+           CAST(SUM(ef_bits) AS BIGINT) AS ef_bits,
+           CAST(SUM(vb_bits) AS BIGINT) AS vb_bits,
+           ROUND(SUM(ef_bits) * 1.0 / SUM(df), 6) AS ef_bpp,
+           ROUND(SUM(vb_bits) * 1.0 / SUM(df), 6) AS vb_bpp
+    FROM c GROUP BY l ORDER BY l
+    """,
+    doc="Elias-Fano postings-size model (Vigna WSDM'13 quasi-succinct "
+        "indices; Ottaviano & Venturini SIGIR'14): for every term, "
+        "the EF encoding of its sorted doc-id list costs ~2 + "
+        "log2(N/df) bits per posting vs a varint-gap baseline of "
+        "8*ceil(bits(gap)/7) — the capacity-planning number an index "
+        "build runs before choosing a postings codec (the storage "
+        "twin of block_max_index/wand_topk's latency metadata). "
+        "Average gap and its bit width are computed with INTEGER "
+        "division + binary-string length (length(bin(N//df)) = "
+        "floor(log2)+1 exactly), so both engines agree bit-for-bit "
+        "with no float log2 boundary risk. Scale shape: one DISTINCT "
+        "(term, doc) pass collapses the corpus to postings, df is a "
+        "vocabulary-sized agg, the corpus size is a 1-row broadcast, "
+        "and the report groups by gap-bit band (<=64 rows). Nothing "
+        "downstream of the distinct is corpus-sized.",
+)
+def q_ef_postings_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    post = (
+        D.spread(docs)
+        .select("doc_id", F.explode_outer(D.tokens_col("text")).alias("t"))
+        .filter(F.col("t").isNotNull())
+        .distinct()
+    )
+    df_dim = post.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    g = df_dim.crossJoin(F.broadcast(nn)).select(
+        "t",
+        "df",
+        F.length(F.bin(F.expr("div(n, df)"))).alias("l"),
+    )
+    c = g.select(
+        "df",
+        "l",
+        (F.col("df") * (F.col("l") + 1)).alias("ef_bits"),
+        (
+            F.col("df") * 8 * F.expr("div(l + 6, 7)")
+        ).alias("vb_bits"),
+    )
+    return (
+        c.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum("ef_bits").cast("long").alias("ef_bits"),
+            F.sum("vb_bits").cast("long").alias("vb_bits"),
+            F.round(
+                F.sum("ef_bits") * F.lit(1.0) / F.sum("df"), 6
+            ).alias("ef_bpp"),
+            F.round(
+                F.sum("vb_bits") * F.lit(1.0) / F.sum("df"), 6
+            ).alias("vb_bpp"),
+        )
+        .select(
+            F.col("l").cast("long").alias("gap_bits"),
+            "n_terms",
+            "n_postings",
+            "ef_bits",
+            "vb_bits",
+            "ef_bpp",
+            "vb_bpp",
+        )
+        .orderBy("gap_bits")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 
@@ -9655,6 +10294,12 @@ _DRIVER_QUEUE_NEXT = [
     "gt_unseen_mass",
     "tfidf_keywords",
     "rendezvous_assign",
+    "wand_topk",
+    "heaps_law",
+    "shingle_novelty",
+    "ccnet_ppl_buckets",
+    "hashed_classifier_score",
+    "ef_postings_size",
 ]
 
 

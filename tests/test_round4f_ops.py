@@ -243,3 +243,149 @@ class TestRendezvousAssign:
         total_moved = sum(r.moved_in for r in rows)
         # expected churn is n/9; allow generous binomial slack
         assert 0.02 * n < total_moved < 0.35 * n
+
+
+class TestWandTopk:
+    @staticmethod
+    def _postings(spark):
+        from edgar_crawler_spark.queries import _WAND_TERMS, _t
+        from edgar_crawler_spark.operators import dedup as D  # noqa: PLC0415
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        docs = _t(spark, SF_SMALL, "documents")
+        tf = (
+            docs.select(
+                "doc_id", F.explode_outer(D.tokens_col("text")).alias("t")
+            )
+            .filter(F.col("t").isin(*_WAND_TERMS))
+            .groupBy("doc_id", "t")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .collect()
+        )
+        n = docs.count()
+        df = Counter(r.t for r in tf)
+        return [
+            (r.doc_id, r.t, round(r.tf * math.log(n / df[r.t]), 6))
+            for r in tf
+        ]
+
+    def test_equals_unpruned_exact_topk(self, spark):
+        from edgar_crawler_spark.queries import _WAND_K
+
+        rows = self._postings(spark)
+        total = defaultdict(float)
+        nterms = Counter()
+        for d, _, w in rows:
+            total[d] += w
+            nterms[d] += 1
+        exp = sorted(
+            ((d, round(s, 6), nterms[d]) for d, s in total.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:_WAND_K]
+        got = [
+            (r.doc_id, r.score, r.n_terms)
+            for r in QUERIES["wand_topk"].fn(spark, SF_SMALL).collect()
+        ]
+        assert got == exp
+
+    def test_threshold_safe_and_pruning_live(self, spark):
+        from edgar_crawler_spark.queries import _WAND_BLOCK, _WAND_K
+
+        rows = self._postings(spark)
+        mx = defaultdict(float)
+        total = defaultdict(float)
+        bm = defaultdict(float)
+        for d, t, w in rows:
+            mx[d] = max(mx[d], w)
+            total[d] += w
+            bm[(t, d // _WAND_BLOCK)] = max(bm[(t, d // _WAND_BLOCK)], w)
+        theta = sorted(mx.values(), reverse=True)[_WAND_K - 1]
+        kth_total = sorted(total.values(), reverse=True)[_WAND_K - 1]
+        # safety: total(d) >= max_term(d) pointwise => theta is a
+        # lower bound on the k-th best total, so ub<theta skips are exact
+        assert theta <= kth_total
+        ub = defaultdict(float)
+        for (t, b), w in bm.items():
+            ub[b] += w
+        pruned = [b for b, u in ub.items() if u < theta]
+        # the op must actually skip blocks on this corpus — a zero-
+        # pruned configuration is the trivially-correct trap
+        assert len(pruned) >= len(ub) // 4, (len(pruned), len(ub))
+        # and every doc in a pruned block indeed cannot reach the top-k
+        for d, s in total.items():
+            if (d // _WAND_BLOCK) in set(pruned):
+                assert s <= ub[d // _WAND_BLOCK] < theta <= kth_total
+
+
+class TestHeapsLaw:
+    def test_matches_python_mirror(self, spark):
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+            "source", "text"
+        ).collect()
+        freq: dict[str, Counter] = defaultdict(Counter)
+        for r in docs:
+            freq[r.source].update(r.text.lower().split())
+        pts = [
+            (math.log(sum(c.values())), math.log(len(c)))
+            for c in freq.values()
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        row = QUERIES["heaps_law"].fn(spark, SF_SMALL).collect()[0]
+        assert row.n_points == n
+        assert abs(row.beta - beta) < 5e-4
+        assert abs(row.ln_k - (sy - beta * sx) / n) < 5e-4
+
+    def test_saturated_vocabulary_flattens_beta(self, spark):
+        # the fixture's 31-token vocabulary is saturated in every
+        # source, so the fitted growth exponent must sit far below
+        # natural text's ~0.5 — the diagnostic reading the op exists for
+        row = QUERIES["heaps_law"].fn(spark, SF_SMALL).collect()[0]
+        assert row.beta < 0.2
+
+
+class TestShingleNovelty:
+    def test_matches_python_mirror(self, spark):
+        from edgar_crawler_spark.queries import (
+            _NOV_DELTA_MIN,
+            _NOV_DELTA_MOD,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+            "doc_id", "source", "text"
+        ).collect()
+
+        def bigrams(text):
+            w = text.lower().split()
+            return {f"{a} {b}" for a, b in zip(w, w[1:])}
+
+        base: set[str] = set()
+        delta: dict[str, set] = defaultdict(set)
+        for r in docs:
+            if r.doc_id % _NOV_DELTA_MOD < _NOV_DELTA_MIN:
+                base |= bigrams(r.text)
+            else:
+                delta[r.source] |= bigrams(r.text)
+        exp = sorted(
+            (
+                src,
+                len(g),
+                len(g - base),
+                round(len(g - base) / len(g), 6),
+            )
+            for src, g in delta.items()
+            if g
+        )
+        got = [
+            (r.source, r.n_delta, r.n_novel, r.novelty)
+            for r in QUERIES["shingle_novelty"].fn(spark, SF_SMALL).collect()
+        ]
+        assert got == exp
+        # non-trivial on the fixture: some delta shingles ARE novel
+        # and some are already in the base
+        assert any(r[2] > 0 for r in got)
+        assert any(r[2] < r[1] for r in got)

@@ -1,0 +1,207 @@
+"""Round-4g operators: CCNet-style reference-LM perplexity buckets,
+fastText-style hashed linear quality classifier, Elias-Fano postings
+size model.
+
+Cross-engine value agreement is covered by the DuckDB oracles
+(tools/check_oracles.py); these pin the laws the oracle cannot see —
+python mirrors of the algorithms, bucket non-degeneracy, the
+reference-corpus sanity direction, and the integer-exact bit-width
+contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from edgar_crawler_spark.queries import (
+    _CCNET_A,
+    _CCNET_HEAD,
+    _CCNET_MID,
+    _CCNET_REF_SRC,
+    _HCLS_B,
+    _HCLS_SCALE,
+    QUERIES,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+
+
+class TestCcnetPplBuckets:
+    @staticmethod
+    def _mirror(docs):
+        bg = []  # (doc_id, source, w1, w2)
+        for r in docs:
+            w = r.text.lower().split()
+            for a, b in zip(w, w[1:]):
+                bg.append((r.doc_id, r.source, a, b))
+        ref = [(w1, w2) for _, s, w1, w2 in bg if s == _CCNET_REF_SRC]
+        c2 = Counter(ref)
+        c1 = Counter(w1 for w1, _ in ref)
+        v = len({w for p in ref for w in p})
+        dx = defaultdict(list)
+        src = {}
+        for d, s, w1, w2 in bg:
+            dx[d].append(
+                -math.log(
+                    (c2.get((w1, w2), 0) + _CCNET_A)
+                    / (c1.get(w1, 0) + _CCNET_A * v)
+                )
+            )
+            src[d] = s
+        x = {d: round(sum(t) / len(t), 6) for d, t in dx.items()}
+        m = round(
+            sum(x[d] for d in x if src[d] == _CCNET_REF_SRC)
+            / sum(1 for d in x if src[d] == _CCNET_REF_SRC),
+            6,
+        )
+        out = defaultdict(list)
+        for d, xx in x.items():
+            if xx <= round(m * _CCNET_HEAD, 6):
+                b = "head"
+            elif xx <= round(m * _CCNET_MID, 6):
+                b = "middle"
+            else:
+                b = "tail"
+            out[b].append((d, src[d], xx))
+        return out
+
+    def test_matches_python_mirror(self, spark):
+        out = self._mirror(_docs(spark))
+        exp = sorted(
+            (
+                b,
+                len(rows),
+                len({s for _, s, _ in rows}),
+                round(sum(x for _, _, x in rows) / len(rows), 6),
+            )
+            for b, rows in out.items()
+        )
+        got = [
+            (r.bucket, r.n_docs, r.n_sources, r.mean_xent)
+            for r in QUERIES["ccnet_ppl_buckets"].fn(spark, SF_SMALL).collect()
+        ]
+        assert [g[:3] for g in got] == [e[:3] for e in exp]
+        for g, e in zip(got, exp):
+            assert abs(g[3] - e[3]) < 2e-6
+
+    def test_buckets_nondegenerate_and_ref_is_head(self, spark):
+        out = self._mirror(_docs(spark))
+        # all three quality tiers must be populated on the fixture —
+        # a single-bucket green would be the trivially-correct trap
+        assert set(out) == {"head", "middle", "tail"}
+        # the reference corpus must score itself into the head
+        # (CCNet's sanity direction: the LM likes its own domain)
+        ref_rows = [
+            b
+            for b, rows in out.items()
+            for _, s, _ in rows
+            if s == _CCNET_REF_SRC
+        ]
+        assert ref_rows and all(b == "head" for b in ref_rows)
+        # and the tail must contain only non-reference docs with
+        # strictly higher xent than every reference doc
+        ref_max = max(
+            x
+            for rows in out.values()
+            for _, s, x in rows
+            if s == _CCNET_REF_SRC
+        )
+        assert all(x > ref_max for _, _, x in out["tail"])
+
+
+class TestHashedClassifierScore:
+    @staticmethod
+    def _score(text: str) -> float:
+        toks = text.lower().split()
+        feats = toks + [f"{a}|{b}" for a, b in zip(toks, toks[1:])]
+        ws = []
+        for t in feats:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % _HCLS_B
+            ws.append(((b * 37 + 11) % 101 - 50) / 100.0)
+        aw = sum(ws) / len(ws)
+        return 1.0 / (1.0 + math.exp(-_HCLS_SCALE * aw))
+
+    def test_matches_python_mirror(self, spark):
+        per_src = defaultdict(list)
+        for r in _docs(spark):
+            per_src[r.source].append(self._score(r.text))
+        exp = {
+            s: (
+                len(v),
+                sum(1 for x in v if x >= 0.5),
+                round(sum(1 for x in v if x >= 0.5) / len(v), 6),
+                round(sum(v) / len(v), 6),
+            )
+            for s, v in per_src.items()
+        }
+        rows = QUERIES["hashed_classifier_score"].fn(spark, SF_SMALL).collect()
+        assert {r.source for r in rows} == set(exp)
+        for r in rows:
+            e = exp[r.source]
+            assert (r.n_docs, r.n_keep) == e[:2]
+            assert abs(r.keep_rate - e[2]) < 1e-9
+            assert abs(r.mean_score - e[3]) < 2e-6
+
+    def test_split_is_nontrivial(self, spark):
+        rows = QUERIES["hashed_classifier_score"].fn(spark, SF_SMALL).collect()
+        total = sum(r.n_docs for r in rows)
+        kept = sum(r.n_keep for r in rows)
+        # the classifier must actually separate: some kept, some dropped
+        assert 0 < kept < total
+
+
+class TestEfPostingsSize:
+    def test_matches_python_mirror(self, spark):
+        docs = _docs(spark)
+        n = len(docs)
+        post = {(t, r.doc_id) for r in docs for t in r.text.lower().split()}
+        df = Counter(t for t, _ in post)
+        bands = defaultdict(lambda: [0, 0, 0, 0])
+        for t, d in df.items():
+            g = n // d
+            l = g.bit_length()
+            b = bands[l]
+            b[0] += 1
+            b[1] += d
+            b[2] += d * (l + 1)
+            b[3] += d * 8 * ((l + 6) // 7)
+        exp = [
+            (
+                l,
+                b[0],
+                b[1],
+                b[2],
+                b[3],
+                round(b[2] / b[1], 6),
+                round(b[3] / b[1], 6),
+            )
+            for l, b in sorted(bands.items())
+        ]
+        rows = QUERIES["ef_postings_size"].fn(spark, SF_SMALL).collect()
+        got = [
+            (r.gap_bits, r.n_terms, r.n_postings, r.ef_bits, r.vb_bits,
+             r.ef_bpp, r.vb_bpp)
+            for r in rows
+        ]
+        assert got == exp
+
+    def test_ef_beats_varint_on_dense_postings(self, spark):
+        # for small gaps (dense terms) EF ~ log2(gap)+2 bits/posting
+        # while varint can never go below 8 — the codec-choice signal
+        rows = QUERIES["ef_postings_size"].fn(spark, SF_SMALL).collect()
+        dense = [r for r in rows if r.gap_bits <= 5]
+        assert dense
+        for r in dense:
+            assert r.ef_bpp < r.vb_bpp
+            # bit-width contract: bpp = gap_bits + 1 exactly
+            assert abs(r.ef_bpp - (r.gap_bits + 1)) < 1e-9

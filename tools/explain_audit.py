@@ -605,6 +605,47 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"partial_count"],
      [r"Generate", r"CartesianProduct",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # WAND: query-vocabulary isin bounds postings; theta is a top-k +
+    # 1-row broadcast; survivors prune scoring via a block-keyed
+    # LEFT-SEMI join (block count grows with the corpus — never
+    # collected); final head a top-k
+    ("wand_topk",
+     [r"TakeOrderedAndProject", r"LeftSemi",
+      r"BroadcastNestedLoopJoin"],
+     [r"CartesianProduct\b.*\n.*Scan parquet",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # Heaps: one vocabulary-keyed agg -> source-sized points -> 1-row
+    # OLS moments; regression never sees corpus-sized data
+    ("heaps_law",
+     [r"partial_count"],
+     [r"\bWindow\b", r"\+- Sort .*global=true",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # novelty: shingles md5-hashed in the scan projection (text never
+    # shuffles), base/delta distinct sets, hash-keyed left join
+    ("shingle_novelty",
+     [r"partial_count"],
+     [r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # CCNet buckets: LM counts broadcast (vocab^2-bounded model dim),
+    # scoring agg keyed on doc_id, thresholds a 1-row broadcast —
+    # never a corpus-wide sort
+    ("ccnet_ppl_buckets",
+     [r"BroadcastHashJoin", r"BroadcastNestedLoopJoin",
+      r"partial_count"],
+     [r"\bWindow\b", r"\+- Sort .*global=true", r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # hashed classifier: weight computed in the projection from the
+    # bucket id — ZERO joins; two map-side-combined aggs
+    ("hashed_classifier_score",
+     [r"partial_avg|partial_sum"],
+     [r"Join", r"\bWindow\b", r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # EF size model: distinct postings -> vocab-sized df agg; corpus
+    # size a 1-row broadcast; integer-exact bit widths (no float log2)
+    ("ef_postings_size",
+     [r"BroadcastNestedLoopJoin", r"partial_count"],
+     [r"\bWindow\b", r"\+- Sort .*global=true", r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
