@@ -137,6 +137,7 @@ HEADLINE = [
     "ccnet_ppl_buckets",
     "hashed_classifier_score",
     "ef_postings_size",
+    "logreg_quality_train",
 ]
 
 

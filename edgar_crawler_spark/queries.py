@@ -25,6 +25,7 @@ Design rules for oracle agreement:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -10200,6 +10201,297 @@ def q_ef_postings_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4g: distributed logistic-regression training (DCLM-style
+# quality-classifier fit, full-batch GD with model-sized state)
+# ---------------------------------------------------------------------------
+
+_LR_B = 64       # hashed feature buckets (same space as the classifier)
+_LR_STEPS = 8    # full-batch GD steps
+_LR_ETA = 2.0    # learning rate
+_LR_EPS = 1e-9   # stddev floor
+_LR_RDP = 9      # inter-step weight rounding (cross-engine resync)
+
+
+def _logreg_oracle_sql() -> str:
+    """Unrolled {_LR_STEPS}-step GD in plain SQL (DuckDB): each step's
+    64-row weight vector is a CTE derived from the previous one, with
+    the same sparse+rank-1 standardization algebra and the same
+    ROUND(w, 9) inter-step contract as the Spark driver loop."""
+    eta = _e(_LR_ETA)
+    sql = f"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                  THEN 1.0 ELSE 0.0 END AS y,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    feats AS (
+      SELECT doc_id, y, t FROM tk, UNNEST(toks) AS u(t)
+      UNION ALL
+      SELECT doc_id, y, t
+      FROM tk, UNNEST([toks[i] || '|' || toks[i+1]
+                       for i in generate_series(1, len(toks) - 1)]) AS u(t)),
+    fb AS (
+      SELECT doc_id, y,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_LR_B} AS b
+      FROM feats),
+    nf AS (SELECT doc_id, COUNT(*) AS n FROM fb GROUP BY doc_id),
+    xs AS MATERIALIZED (
+      SELECT fb.doc_id, ANY_VALUE(fb.y) AS y, fb.b,
+             COUNT(*) * 1.0 / ANY_VALUE(nf.n) AS x
+      FROM fb JOIN nf ON nf.doc_id = fb.doc_id
+      GROUP BY fb.doc_id, fb.b),
+    nd AS MATERIALIZED (SELECT COUNT(*) AS nd FROM tk),
+    st AS MATERIALIZED (
+      SELECT b, SUM(x) / MAX(nd.nd) AS mu,
+             sqrt(SUM(x * x) / MAX(nd.nd)
+                  - (SUM(x) / MAX(nd.nd)) * (SUM(x) / MAX(nd.nd)))
+               + {_e(_LR_EPS)} AS s
+      FROM xs CROSS JOIN nd GROUP BY b),
+    w0 AS (SELECT CAST(range AS BIGINT) AS b, 0.0 AS w FROM range({_LR_B})),
+    c0 AS (SELECT 0.0 AS c)"""
+    score = """,
+    off{k} AS (SELECT COALESCE(SUM(w{k}.w * st.mu / st.s), 0.0) AS o
+               FROM w{k} JOIN st USING (b)),
+    mg{k} AS (
+      SELECT xs.doc_id, ANY_VALUE(xs.y) AS y,
+             SUM(w{k}.w * xs.x / st.s)
+               - ANY_VALUE(off{k}.o) + ANY_VALUE(c{k}.c) AS m
+      FROM xs JOIN w{k} USING (b) JOIN st USING (b)
+              CROSS JOIN off{k} CROSS JOIN c{k}
+      GROUP BY xs.doc_id),
+    pr{k} AS MATERIALIZED (
+      SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) AS p FROM mg{k}),
+    met{k} AS (
+      SELECT {k} AS step,
+             ROUND(-AVG(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6)
+               AS logloss,
+             ROUND(AVG(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0
+                            ELSE 0.0 END), 6) AS accuracy
+      FROM pr{k})"""
+    update = f""",
+    es{{k}} AS (SELECT SUM(p - y) / MAX(nd.nd) AS es
+              FROM pr{{k}} CROSS JOIN nd),
+    gs{{k}} AS (
+      SELECT xs.b, SUM((pr{{k}}.p - pr{{k}}.y) * xs.x) AS sxe
+      FROM xs JOIN pr{{k}} ON pr{{k}}.doc_id = xs.doc_id
+      GROUP BY xs.b),
+    w{{k1}} AS MATERIALIZED (
+      SELECT st.b,
+             ROUND(COALESCE(w{{k}}.w, 0.0)
+                   - {eta} * (COALESCE(gs{{k}}.sxe, 0.0) / nd.nd / st.s
+                              - st.mu / st.s * es{{k}}.es),
+                   {_LR_RDP}) AS w
+      FROM st LEFT JOIN w{{k}} USING (b) LEFT JOIN gs{{k}} USING (b)
+              CROSS JOIN nd CROSS JOIN es{{k}}),
+    c{{k1}} AS (SELECT ROUND(c{{k}}.c - {eta} * es{{k}}.es, {_LR_RDP}) AS c
+              FROM c{{k}} CROSS JOIN es{{k}})"""
+    for k in range(_LR_STEPS + 1):
+        sql += score.format(k=k)
+        if k < _LR_STEPS:
+            sql += update.format(k=k, k1=k + 1)
+    sql += (
+        "\n    SELECT CAST(step AS BIGINT) AS step, logloss, accuracy"
+        "\n    FROM ("
+        + " UNION ALL ".join(
+            f"SELECT * FROM met{k}" for k in range(_LR_STEPS + 1)
+        )
+        + ") ORDER BY step"
+    )
+    return sql
+
+
+@query(
+    "logreg_quality_train",
+    oracle=_logreg_oracle_sql(),
+    doc="Distributed full-batch logistic-regression training of a "
+        "quality classifier over hashed n-gram features — the "
+        "DCLM/GPT-3 pipeline step that FITS the filter (Brown et al. "
+        "2020 appendix A; Li et al. 2024 DataComp-LM) rather than "
+        "just applying one (hashed_classifier_score): positives are "
+        "the curated half of the corpus (source index < 10), "
+        "negatives the raw half, features are unigram+bigram hashes "
+        f"into {_LR_B} buckets standardized per bucket. "
+        f"{_LR_STEPS} GD steps at eta={_LR_ETA}; output is the "
+        "training curve (per-step logloss + accuracy), which must "
+        "descend. Standardization is folded into SPARSE form: "
+        "margin = sum_b w_b x_b / s_b - (sum_b w_b mu_b / s_b) + c "
+        "and gradient = rowsum/s - (mu/s)*errsum — the rank-1 "
+        "correction means the feature table is never densified. "
+        "Scale shape: the (doc, bucket, x) table is built once and "
+        "cached; each step is one broadcast-join + doc-keyed agg "
+        "(margins) and one co-partitioned join + 64-group map-side "
+        "agg (gradients); ONLY model-sized state (64 weights + "
+        "bias + 64 stats rows) is ever collected, re-entering as "
+        "literals — the kmeans centroid discipline. Weights are "
+        f"rounded to {_LR_RDP} dp between steps on both engines, so "
+        "the trajectories stay bit-aligned (the kmeans cross-engine "
+        "rounding contract applied to GD). The oracle is the same "
+        f"recursion unrolled into {_LR_STEPS} SQL weight CTEs.",
+)
+def q_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tk = D.spread(docs).select(
+        "doc_id",
+        F.when(
+            F.expr("CAST(substring(source, 4) AS INT)") < 10, F.lit(1.0)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        D.tokens_col("text").alias("toks"),
+    )
+    uni = tk.select("doc_id", "y", F.explode("toks").alias("t"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(toks[i-1], '|', toks[i]))"
+        ),
+    )
+    big = (
+        tk.select("doc_id", "y", F.explode_outer(bigrams).alias("t"))
+        .filter(F.col("t").isNotNull())
+    )
+    fb = uni.unionByName(big).select(
+        "doc_id",
+        "y",
+        (
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+            % _LR_B
+        ).alias("b"),
+    )
+    cnt = fb.groupBy("doc_id", "b").agg(
+        F.max("y").alias("y"), F.count(F.lit(1)).alias("c")
+    )
+    nf = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    xs = cnt.join(nf, "doc_id").select(
+        "doc_id", "y", "b", (F.col("c") * F.lit(1.0) / F.col("n")).alias("x")
+    )
+    xs = tracked_cache(xs)
+    n_docs = docs.count()
+    # per-bucket standardization stats — model-sized (<= _LR_B rows)
+    st_rows = (
+        xs.groupBy("b")
+        .agg(F.sum("x").alias("sx"), F.sum(F.col("x") * F.col("x")).alias("sxx"))
+        .collect()
+    )
+    mu = {r.b: r.sx / n_docs for r in st_rows}
+    sd = {
+        r.b: math.sqrt(r.sxx / n_docs - (r.sx / n_docs) ** 2) + _LR_EPS
+        for r in st_rows
+    }
+    buckets = sorted(mu)
+    w = {b: 0.0 for b in buckets}
+    c = 0.0
+    trace = [(0, dict(w), 0.0)]  # (step, weights, bias) BEFORE step k+1
+    for _k in range(_LR_STEPS):
+        off = sum(w[b] * mu[b] / sd[b] for b in buckets)
+        bw = F.broadcast(
+            spark.createDataFrame(
+                [(b, w[b] / sd[b]) for b in buckets], "b long, ws double"
+            )
+        )
+        margins = (
+            xs.join(bw, "b")
+            .groupBy("doc_id")
+            .agg(
+                F.max("y").alias("y"),
+                (F.sum(F.col("ws") * F.col("x")) - F.lit(off) + F.lit(c))
+                .alias("m"),
+            )
+            .select(
+                "doc_id",
+                "y",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("p"),
+            )
+        )
+        margins = tracked_cache(margins)
+        es = (
+            margins.agg(F.sum(F.col("p") - F.col("y")).alias("se"))
+            .collect()[0]
+            .se
+            / n_docs
+        )
+        gs = {
+            r.b: r.sxe
+            for r in (
+                xs.join(margins.select("doc_id", "p", F.col("y").alias("yy")),
+                        "doc_id")
+                .groupBy("b")
+                .agg(
+                    F.sum((F.col("p") - F.col("yy")) * F.col("x")).alias("sxe")
+                )
+                .collect()
+            )
+        }
+        w = {
+            b: round(
+                w[b]
+                - _LR_ETA * (gs.get(b, 0.0) / n_docs / sd[b]
+                             - mu[b] / sd[b] * es),
+                _LR_RDP,
+            )
+            for b in buckets
+        }
+        c = round(c - _LR_ETA * es, _LR_RDP)
+        trace.append((_k + 1, dict(w), c))
+    # one Spark pass scores ALL steps: (step, b, w/s) broadcast dim +
+    # (step, off, c) broadcast dim — metrics derived from the data
+    wide = F.broadcast(
+        spark.createDataFrame(
+            [
+                (k, b, wk[b] / sd[b])
+                for k, wk, _ck in trace
+                for b in buckets
+            ],
+            "step long, b long, ws double",
+        )
+    )
+    offs = F.broadcast(
+        spark.createDataFrame(
+            [
+                (k, sum(wk[b] * mu[b] / sd[b] for b in buckets), ck)
+                for k, wk, ck in trace
+            ],
+            "step long, off double, c double",
+        )
+    )
+    mg = (
+        xs.join(wide, "b")
+        .groupBy("step", "doc_id")
+        .agg(F.max("y").alias("y"), F.sum(F.col("ws") * F.col("x")).alias("sm"))
+        .join(offs, "step")
+        .select(
+            "step",
+            "y",
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.col("sm") - F.col("off") + F.col("c")))
+                )
+            ).alias("p"),
+        )
+    )
+    ll = -(
+        F.col("y") * F.log("p")
+        + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - F.col("p"))
+    )
+    hit = (
+        ((F.col("p") >= 0.5) == (F.col("y") == 1.0)).cast("double")
+    )
+    return (
+        mg.groupBy("step")
+        .agg(
+            F.round(F.avg(ll), 6).alias("logloss"),
+            F.round(F.avg(hit), 6).alias("accuracy"),
+        )
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 
@@ -10300,6 +10592,7 @@ _DRIVER_QUEUE_NEXT = [
     "ccnet_ppl_buckets",
     "hashed_classifier_score",
     "ef_postings_size",
+    "logreg_quality_train",
 ]
 
 

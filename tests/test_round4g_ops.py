@@ -22,6 +22,11 @@ from edgar_crawler_spark.queries import (
     _CCNET_REF_SRC,
     _HCLS_B,
     _HCLS_SCALE,
+    _LR_B,
+    _LR_EPS,
+    _LR_ETA,
+    _LR_RDP,
+    _LR_STEPS,
     QUERIES,
 )
 
@@ -205,3 +210,90 @@ class TestEfPostingsSize:
             assert r.ef_bpp < r.vb_bpp
             # bit-width contract: bpp = gap_bits + 1 exactly
             assert abs(r.ef_bpp - (r.gap_bits + 1)) < 1e-9
+
+
+class TestLogregQualityTrain:
+    @staticmethod
+    def _mirror(docs):
+        """Dense-python GD twin of the sparse+rank-1 Spark loop."""
+        X = []
+        y = []
+        for r in docs:
+            toks = r.text.lower().split()
+            feats = toks + [f"{a}|{b}" for a, b in zip(toks, toks[1:])]
+            c = Counter(
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % _LR_B
+                for t in feats
+            )
+            n = sum(c.values())
+            X.append({b: k / n for b, k in c.items()})
+            y.append(1.0 if int(r.source[3:]) < 10 else 0.0)
+        nd = len(X)
+        buckets = sorted({b for row in X for b in row})
+        mu = {b: sum(row.get(b, 0.0) for row in X) / nd for b in buckets}
+        sd = {
+            b: math.sqrt(
+                sum(row.get(b, 0.0) ** 2 for row in X) / nd - mu[b] ** 2
+            )
+            + _LR_EPS
+            for b in buckets
+        }
+        w = {b: 0.0 for b in buckets}
+        c0 = 0.0
+        hist = []
+        for _k in range(_LR_STEPS + 1):
+            ps = []
+            for row, yy in zip(X, y):
+                m = (
+                    sum(
+                        w[b] * (row.get(b, 0.0) - mu[b]) / sd[b]
+                        for b in buckets
+                    )
+                    + c0
+                )
+                ps.append(1.0 / (1.0 + math.exp(-m)))
+            ll = -sum(
+                yy * math.log(p) + (1 - yy) * math.log(1 - p)
+                for p, yy in zip(ps, y)
+            ) / nd
+            acc = sum(
+                1.0 for p, yy in zip(ps, y) if (p >= 0.5) == (yy == 1.0)
+            ) / nd
+            hist.append((round(ll, 6), round(acc, 6)))
+            if _k == _LR_STEPS:
+                break
+            es = sum(p - yy for p, yy in zip(ps, y)) / nd
+            gw = {
+                b: sum(
+                    (p - yy) * (row.get(b, 0.0) - mu[b]) / sd[b]
+                    for row, p, yy in zip(X, ps, y)
+                )
+                / nd
+                for b in buckets
+            }
+            w = {b: round(w[b] - _LR_ETA * gw[b], _LR_RDP) for b in buckets}
+            c0 = round(c0 - _LR_ETA * es, _LR_RDP)
+        return hist
+
+    def test_matches_python_mirror(self, spark):
+        hist = self._mirror(_docs(spark))
+        rows = QUERIES["logreg_quality_train"].fn(spark, SF_SMALL).collect()
+        assert [r.step for r in rows] == list(range(_LR_STEPS + 1))
+        for r, (ll, acc) in zip(rows, hist):
+            # dense mirror vs sparse+rank-1 Spark algebra: identical
+            # math, float association differs — 6dp rounded outputs
+            # may sit a last-ulp apart
+            assert abs(r.logloss - ll) < 2e-6, (r.step, r.logloss, ll)
+            assert abs(r.accuracy - acc) < 1e-9, (r.step, r.accuracy, acc)
+
+    def test_training_curve_laws(self, spark):
+        rows = QUERIES["logreg_quality_train"].fn(spark, SF_SMALL).collect()
+        # step 0 = untrained model: logloss exactly ln 2, accuracy
+        # exactly the class balance (0.5 — balanced by construction)
+        assert abs(rows[0].logloss - round(math.log(2.0), 6)) < 1e-9
+        assert abs(rows[0].accuracy - 0.5) < 1e-9
+        # GD at the registered eta must descend monotonically
+        lls = [r.logloss for r in rows]
+        assert all(a > b for a, b in zip(lls, lls[1:])), lls
+        # and the final model must beat the coin-flip baseline
+        assert rows[-1].accuracy > 0.55

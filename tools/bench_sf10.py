@@ -228,6 +228,22 @@ def main() -> None:
         "gt_unseen_mass",
         "tfidf_keywords",
         "rendezvous_assign",
+        # round 4f (cont.) + 4g. wand: the query vocabulary is FIXED
+        # (terms live in copy 0) while the corpus and the block-UB
+        # table grow 100x — the realistic retrieval shape; heaps:
+        # vocabulary-keyed agg, 20 OLS points; novelty: salted
+        # shingles make cross-copy overlap zero, base/delta distinct
+        # sets and the anti-join grow linearly; ccnet: the reference
+        # LM grows with ref vocabulary (still model-sized vs corpus)
+        # and scoring is one doc-keyed agg; classifier: pure scan
+        # projection + two aggs; ef: distinct postings 100x, df per
+        # term constant so gap bands shift up with N
+        "wand_topk",
+        "heaps_law",
+        "shingle_novelty",
+        "ccnet_ppl_buckets",
+        "hashed_classifier_score",
+        "ef_postings_size",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:

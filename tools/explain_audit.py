@@ -646,6 +646,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"BroadcastNestedLoopJoin", r"partial_count"],
      [r"\bWindow\b", r"\+- Sort .*global=true", r"CartesianProduct",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # logreg training curve: per-step weights re-enter as broadcast
+    # literal dims (model-sized); metrics derived from the cached
+    # sparse feature table — never a corpus-wide sort or python UDF
+    ("logreg_quality_train",
+     [r"BroadcastHashJoin", r"partial_avg|partial_sum"],
+     [r"\bWindow\b", r"\+- Sort .*global=true", r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
