@@ -138,6 +138,7 @@ HEADLINE = [
     "hashed_classifier_score",
     "ef_postings_size",
     "logreg_quality_train",
+    "mmr_diversify",
 ]
 
 

@@ -10206,7 +10206,7 @@ def q_ef_postings_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LR_B = 64       # hashed feature buckets (same space as the classifier)
-_LR_STEPS = 8    # full-batch GD steps
+_LR_STEPS = 5    # full-batch GD steps
 _LR_ETA = 2.0    # learning rate
 _LR_EPS = 1e-9   # stddev floor
 _LR_RDP = 9      # inter-step weight rounding (cross-engine resync)
@@ -10368,7 +10368,10 @@ def q_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = cnt.join(nf, "doc_id").select(
         "doc_id", "y", "b", (F.col("c") * F.lit(1.0) / F.col("n")).alias("x")
     )
-    xs = tracked_cache(xs)
+    # pin the doc_id partitioning INTO the cache: every step's
+    # per-doc agg and err-join then reuse it with no fresh exchange
+    # (pinned exchanges are exempt from AQE coalescing — PLANS.md)
+    xs = tracked_cache(xs.repartition("doc_id"))
     n_docs = docs.count()
     # per-bucket standardization stats — model-sized (<= _LR_B rows)
     st_rows = (
@@ -10387,44 +10390,51 @@ def q_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace = [(0, dict(w), 0.0)]  # (step, weights, bias) BEFORE step k+1
     for _k in range(_LR_STEPS):
         off = sum(w[b] * mu[b] / sd[b] for b in buckets)
-        bw = F.broadcast(
-            spark.createDataFrame(
-                [(b, w[b] / sd[b]) for b in buckets], "b long, ws double"
-            )
+        # weights enter as a 64-entry MAP LITERAL (model-sized, like
+        # kmeans centroid literals) — no per-step dim job, no join
+        ws_map = F.create_map(
+            *[
+                lit
+                for b in buckets
+                for lit in (F.lit(b), F.lit(w[b] / sd[b]))
+            ]
         )
-        margins = (
-            xs.join(bw, "b")
+        # ONE action per step: per-doc error (p - y) plus its bucket
+        # degree, joined back to xs, reduced to the 64-row gradient —
+        # the error sum rides along as err/deg partials (each doc
+        # contributes err_d/deg_d once per bucket, summing to err_d)
+        err = (
+            xs.withColumn("ws", F.element_at(ws_map, F.col("b")))
             .groupBy("doc_id")
             .agg(
                 F.max("y").alias("y"),
-                (F.sum(F.col("ws") * F.col("x")) - F.lit(off) + F.lit(c))
-                .alias("m"),
+                F.count(F.lit(1)).alias("deg"),
+                F.sum(F.col("ws") * F.col("x")).alias("sm"),
             )
             .select(
                 "doc_id",
-                "y",
-                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("p"),
+                (
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(-(F.col("sm") - F.lit(off) + F.lit(c)))
+                    )
+                    - F.col("y")
+                ).alias("err"),
+                "deg",
             )
         )
-        margins = tracked_cache(margins)
-        es = (
-            margins.agg(F.sum(F.col("p") - F.col("y")).alias("se"))
-            .collect()[0]
-            .se
-            / n_docs
-        )
-        gs = {
-            r.b: r.sxe
-            for r in (
-                xs.join(margins.select("doc_id", "p", F.col("y").alias("yy")),
-                        "doc_id")
-                .groupBy("b")
-                .agg(
-                    F.sum((F.col("p") - F.col("yy")) * F.col("x")).alias("sxe")
-                )
-                .collect()
+        rows = (
+            xs.join(err, "doc_id")
+            .groupBy("b")
+            .agg(
+                F.sum(F.col("err") * F.col("x")).alias("sxe"),
+                F.sum(F.col("err") / F.col("deg")).alias("esp"),
             )
-        }
+            .collect()
+        )
+        es = sum(r.esp for r in rows) / n_docs
+        gs = {r.b: r.sxe for r in rows}
         w = {
             b: round(
                 w[b]
@@ -10488,6 +10498,197 @@ def q_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(hit), 6).alias("accuracy"),
         )
         .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4g: MMR result diversification
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20   # re-rank window (the retrieval head)
+_MMR_K = 5       # final diversified list
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle_sql() -> str:
+    """Greedy MMR unrolled: pick1 = argmax rel; pick k = argmax
+    lambda*rel - (1-lambda)*max-sim-to-selected, ties by vec_id."""
+    lam, oml = _e(_MMR_LAMBDA), _e(1.0 - _MMR_LAMBDA)
+    sql = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    pool AS MATERIALIZED (
+      SELECT e.vec_id,
+             ROUND(list_dot_product(e.embedding, q.qv) /
+                   (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel,
+             e.embedding
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_POOL}),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             ROUND(list_dot_product(a.embedding, b.embedding) /
+                   (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                    sqrt(list_dot_product(b.embedding, b.embedding))),
+                   6) AS sim
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+    pick1 AS (SELECT 1 AS mmr_rank, vec_id, rel, rel AS mmr_score
+              FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1),
+    sel1 AS (SELECT vec_id FROM pick1)"""
+    step = """,
+    cand{k} AS (
+      SELECT p.vec_id, p.rel,
+             ROUND({lam} * p.rel - {oml} * MAX(s.sim), 6) AS score
+      FROM pool p JOIN sims s ON s.va = p.vec_id
+                             AND s.vb IN (SELECT vec_id FROM sel{km1})
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{km1})
+      GROUP BY p.vec_id, p.rel),
+    pick{k} AS (SELECT {k} AS mmr_rank, vec_id, rel, score AS mmr_score
+                FROM cand{k} ORDER BY score DESC, vec_id ASC LIMIT 1),
+    sel{k} AS (SELECT vec_id FROM sel{km1}
+               UNION ALL SELECT vec_id FROM pick{k})"""
+    for k in range(2, _MMR_K + 1):
+        sql += step.format(k=k, km1=k - 1, lam=lam, oml=oml)
+    sql += (
+        "\n    SELECT CAST(mmr_rank AS BIGINT) AS mmr_rank, vec_id,"
+        " rel, mmr_score FROM ("
+        + " UNION ALL ".join(
+            f"SELECT * FROM pick{k}" for k in range(1, _MMR_K + 1)
+        )
+        + ") ORDER BY mmr_rank"
+    )
+    return sql
+
+
+@query(
+    "mmr_diversify",
+    oracle=_mmr_oracle_sql(),
+    doc="Maximal Marginal Relevance re-ranking (Carbonell & "
+        f"Goldstein SIGIR'98): retrieve the top-{_MMR_POOL} pool by "
+        "cosine relevance to the vec_id=0 query (the ann_cosine "
+        f"head), then greedily pick {_MMR_K} results maximizing "
+        f"lambda*rel - (1-lambda)*max-sim-to-already-selected "
+        f"(lambda={_MMR_LAMBDA}) — the standard diversification pass "
+        "a retrieval stack runs between ANN and the consumer "
+        "(dedups near-identical hits that survive neardup "
+        "filtering). Scale shape: the corpus-sized work is ONLY the "
+        "relevance top-k (TakeOrderedAndProject); the pool is a "
+        "CONSTANT-bounded re-rank window, so the pool^2 sim table "
+        "and the greedy selection are model-sized — selection ids "
+        "re-enter as literal dims and the final scores are "
+        "recomputed Spark-side from the cached pool/sims tables "
+        "(kmeans literal discipline). All scores rounded to 6dp "
+        "with vec_id tie-breaks, so both engines walk the identical "
+        "greedy path; lambda injected in e-notation. Law: the "
+        "selected set must differ from the plain rel top-"
+        f"{_MMR_K} (diversification is live, not a no-op).",
+)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def cos(a, b):
+        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))  # 1-row query vector
+        .select(
+            "vec_id",
+            F.round(cos(F.col("embedding"), F.col("qv")), 6).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+    )
+    pool = tracked_cache(pool)
+    a = pool.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(cos(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+    )
+    sims = tracked_cache(sims)
+    # greedy over the POOL-bounded (rel, sims) state — model-sized
+    # collect (<= _MMR_POOL^2 rows), never corpus-sized
+    rels = {r.vec_id: r.rel for r in pool.select("vec_id", "rel").collect()}
+    sim = {(r.va, r.vb): r.sim for r in sims.collect()}
+    lam, oml = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    selected = [min(rels, key=lambda v: (-rels[v], v))]
+    for _k in range(2, _MMR_K + 1):
+        cand = {
+            v: round(
+                lam * rels[v]
+                - oml * max(sim[(v, s)] for s in selected),
+                6,
+            )
+            for v in rels
+            if v not in selected
+        }
+        selected.append(min(cand, key=lambda v: (-cand[v], v)))
+    ranks = F.broadcast(
+        spark.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(selected)],
+            "mmr_rank long, vec_id long",
+        )
+    )
+    priors = [
+        (i + 1, s)
+        for i, v in enumerate(selected)
+        for s in selected[:i]
+    ]
+    priordf = F.broadcast(
+        spark.createDataFrame(priors, "mmr_rank long, prior long")
+    )
+    # scores recomputed Spark-side from the cached pool/sims tables
+    return (
+        pool.join(ranks, "vec_id")
+        .join(priordf, "mmr_rank", "left")
+        .join(
+            F.broadcast(
+                sims.select(
+                    F.col("va").alias("vec_id"),
+                    F.col("vb").alias("prior"),
+                    "sim",
+                )
+            ),
+            ["vec_id", "prior"],
+            "left",
+        )
+        .groupBy("mmr_rank", "vec_id", "rel")
+        .agg(F.max("sim").alias("msim"))
+        .select(
+            "mmr_rank",
+            "vec_id",
+            "rel",
+            F.when(F.col("msim").isNull(), F.col("rel"))
+            .otherwise(
+                F.round(
+                    F.lit(_MMR_LAMBDA) * F.col("rel")
+                    - F.lit(1.0 - _MMR_LAMBDA) * F.col("msim"),
+                    6,
+                )
+            )
+            .alias("mmr_score"),
+        )
+        .orderBy("mmr_rank")
     )
 
 
@@ -10593,6 +10794,7 @@ _DRIVER_QUEUE_NEXT = [
     "hashed_classifier_score",
     "ef_postings_size",
     "logreg_quality_train",
+    "mmr_diversify",
 ]
 
 

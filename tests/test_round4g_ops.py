@@ -27,6 +27,9 @@ from edgar_crawler_spark.queries import (
     _LR_ETA,
     _LR_RDP,
     _LR_STEPS,
+    _MMR_K,
+    _MMR_LAMBDA,
+    _MMR_POOL,
     QUERIES,
 )
 
@@ -297,3 +300,69 @@ class TestLogregQualityTrain:
         assert all(a > b for a, b in zip(lls, lls[1:])), lls
         # and the final model must beat the coin-flip baseline
         assert rows[-1].accuracy > 0.55
+
+
+class TestMmrDiversify:
+    @staticmethod
+    def _pool_and_sims(spark):
+        vecs = {
+            r.vec_id: r.embedding
+            for r in spark.read.parquet(
+                f"{SF_SMALL}/embeddings.parquet"
+            ).collect()
+        }
+        q = vecs[0]
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        rel = {
+            v: round(cos(e, q), 6) for v, e in vecs.items() if v != 0
+        }
+        pool = sorted(rel, key=lambda v: (-rel[v], v))[:_MMR_POOL]
+        sims = {
+            (a, b): round(cos(vecs[a], vecs[b]), 6)
+            for a in pool
+            for b in pool
+            if a != b
+        }
+        return {v: rel[v] for v in pool}, sims
+
+    def test_matches_python_mirror(self, spark):
+        rel, sims = self._pool_and_sims(spark)
+        lam, oml = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+        selected = [min(rel, key=lambda v: (-rel[v], v))]
+        scores = [rel[selected[0]]]
+        for _ in range(_MMR_K - 1):
+            cand = {
+                v: round(
+                    lam * rel[v] - oml * max(sims[(v, s)] for s in selected),
+                    6,
+                )
+                for v in rel
+                if v not in selected
+            }
+            pick = min(cand, key=lambda v: (-cand[v], v))
+            selected.append(pick)
+            scores.append(cand[pick])
+        rows = QUERIES["mmr_diversify"].fn(spark, SF_SMALL).collect()
+        assert [r.vec_id for r in rows] == selected
+        assert [r.mmr_rank for r in rows] == list(range(1, _MMR_K + 1))
+        for r, s in zip(rows, scores):
+            assert abs(r.mmr_score - s) < 2e-6
+
+    def test_diversification_is_live(self, spark):
+        # the MMR list must differ from the plain rel top-k — a
+        # lambda/pool configuration where the penalty never changes a
+        # pick would be the trivially-correct trap
+        rel, _ = self._pool_and_sims(spark)
+        plain = sorted(rel, key=lambda v: (-rel[v], v))[:_MMR_K]
+        rows = QUERIES["mmr_diversify"].fn(spark, SF_SMALL).collect()
+        got = [r.vec_id for r in rows]
+        assert set(got) != set(plain)
+        # scores strictly descend after rank 1 (greedy argmax path)
+        sc = [r.mmr_score for r in rows[1:]]
+        assert all(a >= b for a, b in zip(sc, sc[1:]))

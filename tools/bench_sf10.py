@@ -244,6 +244,12 @@ def main() -> None:
         "ccnet_ppl_buckets",
         "hashed_classifier_score",
         "ef_postings_size",
+        # logreg: 8 GD passes over the cached sparse feature table —
+        # per-step state collected is 64 rows at ANY corpus size;
+        # mmr: corpus-sized work is only the relevance top-k, the
+        # pool/greedy are constant-bounded
+        "logreg_quality_train",
+        "mmr_diversify",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:

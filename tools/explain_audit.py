@@ -653,6 +653,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"BroadcastHashJoin", r"partial_avg|partial_sum"],
      [r"\bWindow\b", r"\+- Sort .*global=true", r"CartesianProduct",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # MMR: corpus-sized work is ONLY the relevance top-k; the pool^2
+    # sim table and every selection dim are broadcast (pool-bounded);
+    # the final 5-row rank sort is not corpus-sized
+    ("mmr_diversify",
+     [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+     [r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
