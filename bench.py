@@ -139,6 +139,8 @@ HEADLINE = [
     "ef_postings_size",
     "logreg_quality_train",
     "mmr_diversify",
+    "filter_cascade_funnel",
+    "benchmark_containment",
 ]
 
 

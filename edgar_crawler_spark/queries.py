@@ -10693,6 +10693,264 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4g: filter-cascade funnel (per-rule attrition accounting)
+# ---------------------------------------------------------------------------
+
+_FCF_MIN_TOKENS = 25
+_FCF_MAX_TOPSHARE = 0.15
+_FCF_MIN_DIVERSITY = 0.35
+
+
+@query(
+    "filter_cascade_funnel",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, t, COUNT(*) AS c
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(t)
+      GROUP BY doc_id, t),
+    s AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS dn, MAX(c) AS mx
+          FROM tc GROUP BY doc_id),
+    f AS (
+      SELECT CASE
+               WHEN n < {_FCF_MIN_TOKENS} THEN 1
+               WHEN mx * 1.0 / n > {_e(_FCF_MAX_TOPSHARE)} THEN 2
+               WHEN dn * 1.0 / n < {_e(_FCF_MIN_DIVERSITY)} THEN 3
+               ELSE 4 END AS stage
+      FROM s),
+    k AS (SELECT stage, COUNT(*) AS killed FROM f GROUP BY stage),
+    tot AS (SELECT COUNT(*) AS n FROM s),
+    lab AS (
+      SELECT * FROM (VALUES (1, 'too_short'), (2, 'repetitive'),
+                            (3, 'low_diversity'), (4, 'survived'))
+        AS v(stage, rule))
+    SELECT CAST(lab.stage AS BIGINT) AS stage, lab.rule,
+           CAST(tot.n - COALESCE(SUM(k2.killed), 0) AS BIGINT) AS n_in,
+           CAST(CASE WHEN lab.stage = 4 THEN 0
+                     ELSE COALESCE(k.killed, 0) END AS BIGINT) AS n_killed,
+           CAST(tot.n - COALESCE(SUM(k2.killed), 0)
+                - CASE WHEN lab.stage = 4 THEN 0
+                       ELSE COALESCE(k.killed, 0) END AS BIGINT) AS n_out,
+           ROUND((tot.n - COALESCE(SUM(k2.killed), 0)
+                  - CASE WHEN lab.stage = 4 THEN 0
+                         ELSE COALESCE(k.killed, 0) END) * 1.0 / tot.n,
+                 6) AS survival
+    FROM lab CROSS JOIN tot
+         LEFT JOIN k ON k.stage = lab.stage
+         LEFT JOIN k AS k2 ON k2.stage < lab.stage AND k2.stage < 4
+    GROUP BY lab.stage, lab.rule, tot.n, k.killed
+    ORDER BY lab.stage
+    """,
+    doc="Quality-filter cascade with per-rule attrition accounting — "
+        "the FineWeb/RefinedWeb ablation funnel (Penedo et al. 2024; "
+        "2023): each document is attributed to the FIRST rule that "
+        f"kills it (too_short: tokens < {_FCF_MIN_TOKENS}; "
+        f"repetitive: top-token share > {_FCF_MAX_TOPSHARE}; "
+        f"low_diversity: distinct/total < {_FCF_MIN_DIVERSITY}), and "
+        "the output is the funnel — per stage: docs entering, killed, "
+        "surviving, and cumulative survival rate — the table a "
+        "pipeline owner reads to see which gate costs what before "
+        "shipping a threshold change. Scale shape: the per-doc stats "
+        "come from ONE (doc, token) count agg (map-side combined; "
+        "same base as token_stats), the first-failing-rule label is a "
+        "projection CASE, and the funnel is arithmetic over a "
+        "4-row rule table crossed with a 1-row total — no window, no "
+        "corpus-sized re-pass per rule (the naive per-rule filter "
+        "chain would scan the corpus once PER rule). Thresholds "
+        "injected in e-notation (shared-constant discipline); "
+        "integer-ratio compares are bit-identical cross-engine.",
+)
+def q_filter_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        D.spread(docs)
+        .select("doc_id", F.explode_outer(D.tokens_col("text")).alias("t"))
+        .filter(F.col("t").isNotNull())
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("dn"),
+        F.max("c").alias("mx"),
+    )
+    stage = (
+        F.when(F.col("n") < _FCF_MIN_TOKENS, 1)
+        .when(
+            F.col("mx") * F.lit(1.0) / F.col("n")
+            > F.lit(_FCF_MAX_TOPSHARE),
+            2,
+        )
+        .when(
+            F.col("dn") * F.lit(1.0) / F.col("n")
+            < F.lit(_FCF_MIN_DIVERSITY),
+            3,
+        )
+        .otherwise(4)
+    )
+    k = s.groupBy(stage.alias("stage")).agg(
+        F.count(F.lit(1)).alias("killed")
+    )
+    tot = s.agg(F.count(F.lit(1)).alias("n"))
+    lab = spark.createDataFrame(
+        [(1, "too_short"), (2, "repetitive"), (3, "low_diversity"),
+         (4, "survived")],
+        "stage int, rule string",
+    )
+    k2 = k.select(
+        F.col("stage").alias("pstage"), F.col("killed").alias("pkilled")
+    )
+    killed_here = F.when(
+        F.col("stage") == 4, F.lit(0)
+    ).otherwise(F.coalesce(F.col("killed"), F.lit(0)))
+    return (
+        lab.crossJoin(F.broadcast(tot))  # 1-row corpus total
+        .join(F.broadcast(k), "stage", "left")
+        .join(
+            F.broadcast(k2),
+            (F.col("pstage") < F.col("stage")) & (F.col("pstage") < 4),
+            "left",
+        )
+        .groupBy("stage", "rule", "n", "killed")
+        .agg(F.coalesce(F.sum("pkilled"), F.lit(0)).alias("prior"))
+        .select(
+            F.col("stage").cast("long").alias("stage"),
+            "rule",
+            (F.col("n") - F.col("prior")).cast("long").alias("n_in"),
+            killed_here.cast("long").alias("n_killed"),
+            (F.col("n") - F.col("prior") - killed_here)
+            .cast("long")
+            .alias("n_out"),
+            F.round(
+                (F.col("n") - F.col("prior") - killed_here)
+                * F.lit(1.0)
+                / F.col("n"),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4g: benchmark containment decontamination
+# ---------------------------------------------------------------------------
+
+_BC_BENCH_MOD = 50   # doc_id % 50 == 0 -> the held-out benchmark slice
+_BC_FLAG = 0.3       # containment flag threshold
+
+
+@query(
+    "benchmark_containment",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([substr(md5(w[i] || ' ' || w[i + 1]), 1, 16)
+                            for i in generate_series(1, len(w) - 1)]) AS g
+      FROM tk WHERE len(w) >= 2),
+    bench AS (SELECT doc_id AS bid, UNNEST(g) AS h FROM sh
+              WHERE doc_id % {_BC_BENCH_MOD} = 0),
+    bsz AS (SELECT bid, COUNT(*) AS sz FROM bench GROUP BY bid),
+    corp AS (SELECT doc_id, UNNEST(g) AS h FROM sh
+             WHERE doc_id % {_BC_BENCH_MOD} <> 0),
+    inter AS (SELECT c.doc_id, b.bid, COUNT(*) AS i
+              FROM corp c JOIN bench b USING (h) GROUP BY 1, 2),
+    cont AS (SELECT inter.bid, ROUND(i * 1.0 / bsz.sz, 6) AS cont
+             FROM inter JOIN bsz USING (bid))
+    SELECT bsz.bid AS bench_doc,
+           CAST(bsz.sz AS BIGINT) AS n_shingles,
+           CAST(COUNT(cont.cont) AS BIGINT) AS n_overlapping,
+           CAST(COALESCE(SUM(CASE WHEN cont.cont >= {_e(_BC_FLAG)}
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_flagged,
+           COALESCE(MAX(cont.cont), 0.0) AS max_containment
+    FROM bsz LEFT JOIN cont ON cont.bid = bsz.bid
+    GROUP BY bsz.bid, bsz.sz
+    ORDER BY bench_doc
+    """,
+    doc="Benchmark decontamination by SHINGLE CONTAINMENT (Broder "
+        "1997's containment, the graded complement of resemblance; "
+        "the GPT-3/Llama eval-overlap audit): for every document in "
+        f"the held-out benchmark slice (doc_id % {_BC_BENCH_MOD} == "
+        "0), what fraction of its distinct bigram shingles appears in "
+        "each training document — containment(B, D) = |S(B) ∩ S(D)| "
+        "/ |S(B)| — reporting per benchmark doc the overlap spread "
+        f"and how many training docs exceed the {_BC_FLAG} flag "
+        "level. Containment, not Jaccard: a benchmark question "
+        "swallowed whole by a long training page has tiny resemblance "
+        "but containment ~1 — resemblance-based dedup structurally "
+        "misses it. Complements bloom_decontaminate (approximate "
+        "membership, corpus-wide) with the exact graded score "
+        "against a SMALL eval set. Scale shape: the benchmark "
+        "shingle table is eval-suite-sized and BROADCASTS into one "
+        "equi-join against the corpus shingle stream (hashed in the "
+        "scan projection — text never shuffles); the intersection "
+        "agg keys on (train_doc, bench_doc), bounded by bench size "
+        "x overlap, never an all-pairs product. The toy corpus's "
+        "shared vocabulary makes the overlap tail dense "
+        "(n_overlapping ~ corpus size) but the flagged set sparse — "
+        "exactly the production profile.",
+)
+def q_benchmark_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # explode -> SCALAR md5 -> distinct (the shingle_novelty shape):
+    # hashing inside nested array HOFs runs interpreted per element
+    # and measured ~20x slower than the codegen'd scalar path
+    sh = (
+        D.spread(docs)
+        .select(
+            "doc_id",
+            F.explode_outer(D.ngrams_col(D.tokens_col("text"), 2)).alias(
+                "g"
+            ),
+        )
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
+        .distinct()
+    )
+    sh = tracked_cache(sh)
+    bench = sh.filter(F.col("doc_id") % _BC_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bid"), "h"
+    )
+    bsz = bench.groupBy("bid").agg(F.count(F.lit(1)).alias("sz"))
+    corp = sh.filter(F.col("doc_id") % _BC_BENCH_MOD != 0)
+    inter = (
+        corp.join(F.broadcast(bench), "h")  # eval-suite-sized dim
+        .groupBy("doc_id", "bid")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cont = inter.join(F.broadcast(bsz), "bid").select(
+        "bid", F.round(F.col("i") * F.lit(1.0) / F.col("sz"), 6).alias("cont")
+    )
+    flagged = (F.col("cont") >= _BC_FLAG).cast("long")
+    return (
+        bsz.join(cont, "bid", "left")
+        .groupBy(F.col("bid").alias("bench_doc"), F.col("sz"))
+        .agg(
+            F.count("cont").cast("long").alias("n_overlapping"),
+            F.coalesce(F.sum(flagged), F.lit(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.coalesce(F.max("cont"), F.lit(0.0)).alias("max_containment"),
+        )
+        .select(
+            "bench_doc",
+            F.col("sz").cast("long").alias("n_shingles"),
+            "n_overlapping",
+            "n_flagged",
+            "max_containment",
+        )
+        .orderBy("bench_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 
@@ -10795,6 +11053,8 @@ _DRIVER_QUEUE_NEXT = [
     "ef_postings_size",
     "logreg_quality_train",
     "mmr_diversify",
+    "filter_cascade_funnel",
+    "benchmark_containment",
 ]
 
 

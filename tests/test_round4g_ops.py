@@ -27,6 +27,11 @@ from edgar_crawler_spark.queries import (
     _LR_ETA,
     _LR_RDP,
     _LR_STEPS,
+    _BC_BENCH_MOD,
+    _BC_FLAG,
+    _FCF_MAX_TOPSHARE,
+    _FCF_MIN_DIVERSITY,
+    _FCF_MIN_TOKENS,
     _MMR_K,
     _MMR_LAMBDA,
     _MMR_POOL,
@@ -366,3 +371,102 @@ class TestMmrDiversify:
         # scores strictly descend after rank 1 (greedy argmax path)
         sc = [r.mmr_score for r in rows[1:]]
         assert all(a >= b for a, b in zip(sc, sc[1:]))
+
+
+class TestFilterCascadeFunnel:
+    @staticmethod
+    def _stage(text):
+        c = Counter(text.lower().split())
+        n = sum(c.values())
+        if n < _FCF_MIN_TOKENS:
+            return 1
+        if max(c.values()) / n > _FCF_MAX_TOPSHARE:
+            return 2
+        if len(c) / n < _FCF_MIN_DIVERSITY:
+            return 3
+        return 4
+
+    def test_matches_python_mirror(self, spark):
+        docs = _docs(spark)
+        stages = Counter(self._stage(r.text) for r in docs)
+        total = len(docs)
+        rows = QUERIES["filter_cascade_funnel"].fn(spark, SF_SMALL).collect()
+        assert [r.stage for r in rows] == [1, 2, 3, 4]
+        n_in = total
+        for r in rows:
+            killed = stages.get(r.stage, 0) if r.stage < 4 else 0
+            assert r.n_in == n_in, (r.rule, r.n_in, n_in)
+            assert r.n_killed == killed
+            assert r.n_out == n_in - killed
+            assert abs(r.survival - round((n_in - killed) / total, 6)) < 1e-9
+            n_in -= killed
+
+    def test_funnel_conservation_and_live_rules(self, spark):
+        rows = QUERIES["filter_cascade_funnel"].fn(spark, SF_SMALL).collect()
+        # conservation: each stage's output is the next stage's input,
+        # and the survivors row passes everyone through
+        for a, b in zip(rows, rows[1:]):
+            assert a.n_out == b.n_in
+        assert rows[-1].n_killed == 0
+        # every rule must actually fire on the fixture — a funnel
+        # where a gate kills nothing is untested configuration
+        assert all(r.n_killed > 0 for r in rows[:-1])
+        assert rows[-1].n_out > 0
+
+
+class TestBenchmarkContainment:
+    @staticmethod
+    def _mirror(docs):
+        def shingles(text):
+            w = text.lower().split()
+            return {
+                hashlib.md5(f"{a} {b}".encode()).hexdigest()[:16]
+                for a, b in zip(w, w[1:])
+            }
+
+        bench = {
+            r.doc_id: shingles(r.text)
+            for r in docs
+            if r.doc_id % _BC_BENCH_MOD == 0 and len(r.text.split()) >= 2
+        }
+        corp = {
+            r.doc_id: shingles(r.text)
+            for r in docs
+            if r.doc_id % _BC_BENCH_MOD != 0 and len(r.text.split()) >= 2
+        }
+        out = {}
+        for bid, bs in bench.items():
+            conts = [
+                round(len(bs & cs) / len(bs), 6)
+                for cs in corp.values()
+                if bs & cs
+            ]
+            out[bid] = (
+                len(bs),
+                len(conts),
+                sum(1 for c in conts if c >= _BC_FLAG),
+                max(conts) if conts else 0.0,
+            )
+        return out
+
+    def test_matches_python_mirror(self, spark):
+        exp = self._mirror(_docs(spark))
+        rows = QUERIES["benchmark_containment"].fn(spark, SF_SMALL).collect()
+        assert {r.bench_doc for r in rows} == set(exp)
+        for r in rows:
+            sz, n_over, n_flag, mx = exp[r.bench_doc]
+            assert r.n_shingles == sz
+            assert r.n_overlapping == n_over
+            assert r.n_flagged == n_flag
+            assert abs(r.max_containment - mx) < 2e-6
+
+    def test_flags_planted_contamination(self, spark):
+        rows = QUERIES["benchmark_containment"].fn(spark, SF_SMALL).collect()
+        # the corpus's planted duplicate family intersects the bench
+        # slice: at least one bench doc must be flagged near-fully
+        # contained, and the background must NOT all be flagged
+        assert any(r.max_containment >= 0.9 and r.n_flagged >= 1
+                   for r in rows)
+        assert sum(r.n_flagged for r in rows) < sum(
+            r.n_overlapping for r in rows
+        )

@@ -250,6 +250,11 @@ def main() -> None:
         # pool/greedy are constant-bounded
         "logreg_quality_train",
         "mmr_diversify",
+        # funnel: one (doc,token) agg + 4-row arithmetic; containment:
+        # bench dim broadcast (grows with the bench slice, stays
+        # eval-suite-shaped), corpus stream 100x
+        "filter_cascade_funnel",
+        "benchmark_containment",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:

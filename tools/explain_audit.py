@@ -660,6 +660,20 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
      [r"CartesianProduct",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # funnel: ONE (doc,token) count agg feeds all three rules; the
+    # funnel itself is arithmetic over a 4-row rule dim x 1-row total
+    # — never a per-rule corpus re-pass, no window
+    ("filter_cascade_funnel",
+     [r"partial_count"],
+     [r"\bWindow\b", r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # containment: bench shingles broadcast into one equi-join over
+    # the hashed corpus stream; (train,bench)-keyed count agg —
+    # never an all-pairs product, text never shuffles
+    ("benchmark_containment",
+     [r"BroadcastHashJoin", r"partial_count"],
+     [r"\bWindow\b", r"\+- Sort .*global=true", r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
