@@ -141,6 +141,7 @@ HEADLINE = [
     "mmr_diversify",
     "filter_cascade_funnel",
     "benchmark_containment",
+    "cdc_chunk_profile",
 ]
 
 

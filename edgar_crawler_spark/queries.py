@@ -10951,6 +10951,111 @@ def q_benchmark_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4g: content-defined chunking profile
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 8   # boundary when md5(token) % 8 == 0 -> ~8-token chunks
+
+
+@query(
+    "cdc_chunk_profile",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    pos AS (SELECT doc_id, source, i, w[i] AS t
+            FROM tk, UNNEST(generate_series(1, len(w))) AS u(i)),
+    b AS (
+      SELECT doc_id, source, i, t,
+             CASE WHEN CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                       % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS bd
+      FROM pos),
+    seg AS (SELECT doc_id, source, i, t,
+                   SUM(bd) OVER (PARTITION BY doc_id ORDER BY i) AS cid
+            FROM b),
+    ch AS (SELECT doc_id, source, cid, COUNT(*) AS clen,
+                  md5(string_agg(t, ' ' ORDER BY i)) AS h
+           FROM seg GROUP BY doc_id, source, cid)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 6)
+             AS dup_ratio,
+           ROUND(AVG(clen), 6) AS avg_len
+    FROM ch GROUP BY source ORDER BY source
+    """,
+    doc="Content-defined chunking profile (Muthitacharoen et al. "
+        "LBFS SOSP'01; Xia et al. FastCDC ATC'16): chunk boundaries "
+        "fall where md5(token) % "
+        f"{_CDC_MOD} == 0, so an insertion only perturbs its own "
+        "chunk — the property fixed-size chunking "
+        "(chunk_dedup_rewrite's unit) lacks: there a one-token edit "
+        "shifts EVERY downstream chunk and destroys dedup. Reports "
+        "per-source chunk counts, distinct-chunk counts, the dup "
+        "ratio a CDC store would reclaim, and mean chunk length "
+        "(expected ~{mod} tokens). Scale shape: one posexplode + a "
+        "doc_id-keyed running-sum window (the growing axis — never "
+        "a global sort), chunk reassembly via the "
+        "chunk_dedup_rewrite sort-struct discipline, chunk hashes "
+        "md5'd as SCALARS after the group (the "
+        "benchmark_containment lesson: hashing inside nested array "
+        "HOFs runs interpreted), and a source-keyed distinct-count "
+        "over hash-sized rows — text leaves the plan at the chunk "
+        "hash.".replace("{mod}", str(_CDC_MOD)),
+)
+def q_cdc_chunk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pos = D.spread(docs).select(
+        "doc_id",
+        "source",
+        F.posexplode(D.tokens_col("text")).alias("i", "t"),
+    )
+    b = pos.withColumn(
+        "bd",
+        (
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+            % _CDC_MOD
+            == 0
+        ).cast("long"),
+    )
+    w_seg = W.partitionBy("doc_id").orderBy("i")
+    seg = b.withColumn("cid", F.sum("bd").over(w_seg))
+    ch = (
+        seg.groupBy("doc_id", "source", "cid")
+        .agg(
+            F.count(F.lit(1)).alias("clen"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("i", "t"))
+                        ),
+                        lambda s: s["t"],
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("h").cast("long").alias("n_distinct"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("h") * F.lit(1.0) / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+            F.round(F.avg("clen"), 6).alias("avg_len"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 
@@ -11055,6 +11160,7 @@ _DRIVER_QUEUE_NEXT = [
     "mmr_diversify",
     "filter_cascade_funnel",
     "benchmark_containment",
+    "cdc_chunk_profile",
 ]
 
 

@@ -29,6 +29,7 @@ from edgar_crawler_spark.queries import (
     _LR_STEPS,
     _BC_BENCH_MOD,
     _BC_FLAG,
+    _CDC_MOD,
     _FCF_MAX_TOPSHARE,
     _FCF_MIN_DIVERSITY,
     _FCF_MIN_TOKENS,
@@ -470,3 +471,73 @@ class TestBenchmarkContainment:
         assert sum(r.n_flagged for r in rows) < sum(
             r.n_overlapping for r in rows
         )
+
+
+def _cdc_chunks(tokens):
+    """Reference CDC cut, matching the query's inclusive running-sum
+    semantics: a boundary token STARTS a new chunk (its cid has
+    already incremented), so chunks are [prefix], [b1, ...], [b2, ...]."""
+    chunks, cur = [], []
+    for t in tokens:
+        if (
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % _CDC_MOD
+            == 0
+        ):
+            if cur:
+                chunks.append(cur)
+            cur = [t]
+        else:
+            cur.append(t)
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+class TestCdcChunkProfile:
+    def test_matches_python_mirror(self, spark):
+        per_src = defaultdict(list)
+        for r in _docs(spark):
+            for c in _cdc_chunks(r.text.lower().split()):
+                per_src[r.source].append(" ".join(c))
+        exp = {
+            s: (
+                len(v),
+                len(set(v)),
+                round(1.0 - len(set(v)) / len(v), 6),
+                round(sum(len(c.split()) for c in v) / len(v), 6),
+            )
+            for s, v in per_src.items()
+        }
+        rows = QUERIES["cdc_chunk_profile"].fn(spark, SF_SMALL).collect()
+        assert {r.source for r in rows} == set(exp)
+        for r in rows:
+            e = exp[r.source]
+            assert (r.n_chunks, r.n_distinct) == e[:2]
+            assert abs(r.dup_ratio - e[2]) < 1e-9
+            assert abs(r.avg_len - e[3]) < 1e-9
+
+    def test_insertion_robustness_vs_fixed_chunking(self):
+        # THE property CDC exists for: an edit perturbs only its own
+        # chunk. Prepend one token to a long synthetic doc — every
+        # chunk after the first boundary must be byte-identical, while
+        # fixed-size chunking shifts and loses ALL downstream chunks.
+        toks = [f"w{i}" for i in range(400)]  # all-distinct stream
+        orig = [" ".join(c) for c in _cdc_chunks(toks)]
+        edited = [" ".join(c) for c in _cdc_chunks(["inserted"] + toks)]
+        shared = set(orig) & set(edited)
+        # all but the first (edited) chunk survive the insertion
+        assert len(shared) >= len(orig) - 1
+        fixed_orig = {
+            " ".join(toks[i : i + _CDC_MOD])
+            for i in range(0, len(toks), _CDC_MOD)
+        }
+        fixed_edit = {
+            " ".join((["inserted"] + toks)[i : i + _CDC_MOD])
+            for i in range(0, len(toks) + 1, _CDC_MOD)
+        }
+        # fixed-size chunking keeps (almost) nothing: the periodic
+        # token stream aliases a few windows, never the vast majority
+        assert len(fixed_orig & fixed_edit) < len(fixed_orig) // 2
+        # and the CDC mean chunk length sits near the design point
+        lens = [len(c.split()) for c in orig]
+        assert _CDC_MOD / 2 < sum(lens) / len(lens) < _CDC_MOD * 2

@@ -255,6 +255,9 @@ def main() -> None:
         # eval-suite-shaped), corpus stream 100x
         "filter_cascade_funnel",
         "benchmark_containment",
+        # cdc: posexplode + doc-keyed running-sum window; chunk-hash
+        # rows after the group — the chunk_dedup_rewrite scale class
+        "cdc_chunk_profile",
     ]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:

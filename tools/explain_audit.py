@@ -674,6 +674,12 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
      [r"BroadcastHashJoin", r"partial_count"],
      [r"\bWindow\b", r"\+- Sort .*global=true", r"CartesianProduct",
       r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
+    # CDC: doc_id-keyed running-sum window (the growing axis), chunk
+    # hash md5'd as a scalar after the group; no joins at all
+    ("cdc_chunk_profile",
+     [r"\bWindow\b", r"partial_count"],
+     [r"Join", r"CartesianProduct",
+      r"BatchEvalPython|ArrowEvalPython|MapInPandas"]),
 ]
 
 
