@@ -1,9 +1,13 @@
 """Benchmark harness.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+compact JSON line (<=2 KB): {"metric": ..., "value": total_sec,
+"unit": "sec", "reps": ..., "sf": ..., "slowest": {10 keys},
+"detail": path}. The FULL per-query/spread maps are written to
+$SPARK_GRAFT_BENCH_OUT (default BENCH/bench_r05.json) — round 4's
+92-key stdout line overflowed the driver's tail capture, so totals
+live on stdout and maps live in the file.
 
 Each query is forced end-to-end with a noop write (full computation,
 no driver collect). A second section (run via tools/bench_scaling.py)
@@ -193,20 +197,64 @@ def main() -> None:
     except Exception:  # noqa: BLE001, S110
         pass
 
+    print(emit(timings, spread, reps, sf_val=(
+        float(sf) if sf.replace(".", "").isdigit() else sf
+    )))
+
+
+def emit(
+    timings: dict[str, float],
+    spread: dict[str, float],
+    reps: int,
+    sf_val: float | str,
+    out_path: str | None = None,
+) -> str:
+    """Write full per-query/spread maps to a file and return the
+    compact (<=2 KB, asserted) stdout line.
+
+    Round 4's 92-key single-line map was ~5 KB; the driver's stdout
+    tail capture kept only the last ~2 KB and BENCH_r04.json came out
+    parsed:null. Totals + the 10 slowest keys go on stdout; the full
+    maps go to $SPARK_GRAFT_BENCH_OUT (default BENCH/bench_r05.json);
+    tools/bench_compare.py reads either shape.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "reps": reps,
+        "sf": sf_val,
+    }
+    out_path = out_path or os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(here, "BENCH", "bench_r05.json"),
     )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "reps": reps,
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "slowest": slowest,
+            "detail": os.path.relpath(out_path, here),
+        }
+    )
+    assert len(line) <= 2000, f"stdout bench line {len(line)}B > 2KB"
+    return line
 
 
 if __name__ == "__main__":

@@ -23,7 +23,19 @@ def load(path: str) -> dict:
     with open(path) as f:
         obj = json.load(f)
     if "parsed" in obj:
-        obj = obj["parsed"]
+        obj = obj["parsed"] or {}
+    if "queries" not in obj and "detail" in obj:
+        # round-5+ compact stdout line: full maps live in the detail
+        # file (path relative to the repo root / bench.py's dir)
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for cand in (obj["detail"], os.path.join(root, obj["detail"])):
+            if os.path.exists(cand):
+                with open(cand) as f:
+                    return json.load(f)
+        if "slowest" in obj:
+            print(f"note: {path}: detail file missing, comparing the "
+                  f"{len(obj['slowest'])} slowest keys only")
+            return {**obj, "queries": obj["slowest"]}
     if "queries" not in obj:
         raise SystemExit(f"{path}: no 'queries' key")
     return obj
