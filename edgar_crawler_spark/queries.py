@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -10212,6 +10213,18 @@ _LR_EPS = 1e-9   # stddev floor
 _LR_RDP = 9      # inter-step weight rounding (cross-engine resync)
 
 
+def _round_half_away(x: float, dp: int) -> float:
+    """SQL ROUND semantics — round-half-AWAY-from-zero — for the
+    driver-side inter-step resync values (logreg weight/bias trace,
+    MMR greedy scores). Python's builtin round() banker-rounds ties
+    to even; on a value landing exactly on a decimal half the
+    trajectory could diverge from the DuckDB ROUND() / Spark F.round
+    recomputation (ADVICE r04). Decimal(x) is the EXACT binary value
+    of the double, so non-tie cases are bit-identical to round()."""
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _logreg_oracle_sql() -> str:
     """Unrolled {_LR_STEPS}-step GD in plain SQL (DuckDB): each step's
     64-row weight vector is a CTE derived from the previous one, with
@@ -10436,7 +10449,7 @@ def q_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         es = sum(r.esp for r in rows) / n_docs
         gs = {r.b: r.sxe for r in rows}
         w = {
-            b: round(
+            b: _round_half_away(
                 w[b]
                 - _LR_ETA * (gs.get(b, 0.0) / n_docs / sd[b]
                              - mu[b] / sd[b] * es),
@@ -10444,7 +10457,7 @@ def q_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for b in buckets
         }
-        c = round(c - _LR_ETA * es, _LR_RDP)
+        c = _round_half_away(c - _LR_ETA * es, _LR_RDP)
         trace.append((_k + 1, dict(w), c))
     # one Spark pass scores ALL steps: (step, b, w/s) broadcast dim +
     # (step, off, c) broadcast dim — metrics derived from the data
@@ -10634,7 +10647,7 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected = [min(rels, key=lambda v: (-rels[v], v))]
     for _k in range(2, _MMR_K + 1):
         cand = {
-            v: round(
+            v: _round_half_away(
                 lam * rels[v]
                 - oml * max(sim[(v, s)] for s in selected),
                 6,
@@ -10895,7 +10908,17 @@ _BC_FLAG = 0.3       # containment flag threshold
         "x overlap, never an all-pairs product. The toy corpus's "
         "shared vocabulary makes the overlap tail dense "
         "(n_overlapping ~ corpus size) but the flagged set sparse — "
-        "exactly the production profile.",
+        "exactly the production profile. FIXTURE-PROXY CAVEAT "
+        "(ADVICE r04): the bench slice here is doc_id % "
+        f"{_BC_BENCH_MOD} == 0, i.e. ~{100 // _BC_BENCH_MOD}% of "
+        "corpus shingles, which GROWS with the corpus — so on this "
+        "fixture the broadcast is corpus-proportional, not bounded. "
+        "A real deployment broadcasts an eval SUITE (fixed doc "
+        "count, ~10^6-10^7 shingles, tens of MB); that fixed bound, "
+        "not the modulo slice, is what justifies the broadcast at "
+        "100 TB. Swap the slice for the real suite table when one "
+        "exists; if the suite ever exceeds the broadcast threshold, "
+        "drop the F.broadcast hints and let AQE pick a shuffle join.",
 )
 def q_benchmark_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

@@ -127,3 +127,37 @@ class TestBenchCompareShapes:
             )
         )
         assert self._compare().load(str(p))["queries"] == {"b": 2.0}
+
+
+class TestRoundHalfAway:
+    """ADVICE r04: driver-side resync rounding must match SQL ROUND
+    (ties away from zero), not Python's banker's rounding."""
+
+    def test_ties_go_away_from_zero(self):
+        from edgar_crawler_spark.queries import _round_half_away
+
+        # exact binary halves — the cases where round() diverges
+        assert _round_half_away(0.5, 0) == 1.0
+        assert _round_half_away(1.5, 0) == 2.0
+        assert _round_half_away(2.5, 0) == 3.0      # round() gives 2
+        assert _round_half_away(-2.5, 0) == -3.0    # round() gives -2
+        assert _round_half_away(0.25, 1) == 0.3     # round() gives 0.2
+        assert _round_half_away(-0.25, 1) == -0.3
+
+    def test_non_ties_bit_identical_to_builtin(self):
+        from edgar_crawler_spark.queries import _round_half_away
+
+        # deterministic pseudo-random doubles: non-tie cases must be
+        # bit-identical to round() (Decimal(x) is the exact binary
+        # value, so only exact decimal halves can differ)
+        x = 0.123456789
+        for i in range(2000):
+            x = (x * 1103515245.0 + 12345.0) % 97.3 - 48.65
+            for dp in (2, 6, 9):
+                got, want = _round_half_away(x, dp), round(x, dp)
+                if got != want:
+                    # permitted only at an exact decimal half
+                    from decimal import Decimal
+
+                    frac = Decimal(x).scaleb(dp) % 1
+                    assert abs(frac) == Decimal("0.5"), (x, dp, got, want)
