@@ -14,13 +14,18 @@ between shuffling 10^10 rows and shuffling 10^8.
 from __future__ import annotations
 
 from typing import Iterator
+from uuid import uuid4
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bloom import BloomFilter, ShardedBloom, shard_of
+from .bloom import BloomFilter, ShardedBloom, shard_of, shard_of_many
 from .cuckoo import CuckooFilter, ShardedCuckoo
+
+# per-python-worker deserialized-filter cache (see maybe_seen below)
+_FILTER_CACHE: dict[str, "ShardedBloom | ShardedCuckoo"] = {}
 
 
 def build_sharded_bloom(
@@ -43,12 +48,15 @@ def build_sharded_bloom(
     def fold(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local: dict[int, BloomFilter] = {}
         for pdf in pdfs:
-            for key in pdf[url_col].astype(str):
-                s = shard_of(key, ns)
-                bf = local.get(s)
+            keys = pdf[url_col].astype(str).to_numpy(dtype=object)
+            if len(keys) == 0:
+                continue
+            sh = shard_of_many(keys, ns)
+            for s in np.unique(sh):
+                bf = local.get(int(s))
                 if bf is None:
-                    bf = local[s] = BloomFilter.empty(exp, p)
-                bf.add(key)
+                    bf = local[int(s)] = BloomFilter.empty(exp, p)
+                bf.add_many(keys[sh == s].tolist())
         if local:
             yield pd.DataFrame(
                 {
@@ -133,12 +141,23 @@ def filter_unseen(
     kind = "cuckoo" if isinstance(bloom, ShardedCuckoo) else "bloom"
     b = spark.sparkContext.broadcast((kind, bloom.to_rows()))
     ns = bloom.n_shards
+    b_key = uuid4().hex  # unique per broadcast — never aliases filters
 
     @F.pandas_udf("boolean")
     def maybe_seen(urls: pd.Series) -> pd.Series:
-        k, rows = b.value
-        cls = ShardedCuckoo if k == "cuckoo" else ShardedBloom
-        sb = cls.from_rows(ns, rows)
+        # deserialize the broadcast filter ONCE per python worker, not
+        # once per Arrow batch — workers are reused across batches, so
+        # without this every ~10k-row batch re-parses every shard
+        # bitmap. Keyed on the broadcast identity; bounded (workers
+        # see at most a handful of live filters).
+        sb = _FILTER_CACHE.get(b_key)
+        if sb is None:
+            k, rows = b.value
+            cls = ShardedCuckoo if k == "cuckoo" else ShardedBloom
+            sb = cls.from_rows(ns, rows)
+            while len(_FILTER_CACHE) >= 4:
+                _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
+            _FILTER_CACHE[b_key] = sb
         return pd.Series(sb.might_contain_many(urls.astype(str).tolist()))
 
     flagged = frontier.withColumn("_maybe_seen", maybe_seen(F.col(url_col)))

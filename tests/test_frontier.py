@@ -116,6 +116,40 @@ class TestBloom:
         assert all(sb2.might_contain(k) for k in keys)
         assert len(set(shard_of(k, 8) for k in keys)) == 8  # all shards used
 
+    def test_vectorized_paths_bit_identical(self):
+        """add_many / might_contain_many are vectorized; they must be
+        BIT-identical to the per-key add / might_contain loops —
+        including absent shards (answer False) and shards with
+        different geometry."""
+        import numpy as np
+
+        keys = [f"https://host{i % 7}.example/p/{i}" for i in range(3000)]
+        keys += ["", "é∆-unicode", "a" * 500]
+        bf_loop = BloomFilter.empty(1000, 0.01)
+        bf_vec = BloomFilter.empty(1000, 0.01)
+        for k in keys:
+            bf_loop.add(k)
+        bf_vec.add_many(keys)
+        assert np.array_equal(bf_loop.bits, bf_vec.bits)
+
+        shards: dict[int, BloomFilter] = {}
+        for k in keys:
+            shards.setdefault(shard_of(k, 16), BloomFilter.empty(300, 0.01)).add(k)
+        del shards[sorted(shards)[3]]  # absent-shard path
+        sb = ShardedBloom(16, shards)
+        probe = keys + [f"unseen-{i}" for i in range(3000)]
+        per_key = [sb.might_contain(k) for k in probe]
+        assert sb.might_contain_many(probe).tolist() == per_key
+        assert sb.might_contain_many([]).shape == (0,)
+
+        het = ShardedBloom(
+            4, {0: BloomFilter.empty(100, 0.01), 1: BloomFilter.empty(9999, 0.001)}
+        )
+        het.shards[0].add("x")
+        het.shards[1].add("y")
+        pr = ["x", "y", "z", "w"]
+        assert het.might_contain_many(pr).tolist() == [het.might_contain(k) for k in pr]
+
     def test_distributed_build_matches(self, spark):
         df = _frontier_df(spark, 400).repartition(7)
         sb = build_sharded_bloom(df, n_shards=4, fpp=0.01)
