@@ -65,12 +65,29 @@ def build_sharded_bloom(
                 }
             )
 
+    def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged: BloomFilter | None = None
+        for raw in pdf["bitmap"]:
+            bf = BloomFilter.from_bytes(bytes(raw))
+            merged = bf if merged is None else merged.merge(bf)
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bitmap": [merged.to_bytes()]}
+        )
+
     partial = seen.select(url_col).mapInPandas(fold, "shard int, bitmap binary")
-    rows = partial.collect()
-    shards: dict[int, BloomFilter] = {}
-    for r in rows:
-        bf = BloomFilter.from_bytes(bytes(r["bitmap"]))
-        shards[r["shard"]] = shards[r["shard"]].merge(bf) if r["shard"] in shards else bf
+    # per-shard OR-merge happens IN SPARK (groupBy shard → one reducer
+    # per shard), so the driver collects exactly n_shards finished
+    # bitmaps — never the partitions × n_shards partials. At 10^10
+    # keys / 1024 shards a partial set is thousands × 12 MB (a driver
+    # OOM); the finished set is 1024 × 12 MB spread over one tiny
+    # shuffle whose reducers each touch only their shard.
+    finished = partial.groupBy("shard").applyInPandas(
+        or_merge, "shard int, bitmap binary"
+    )
+    shards = {
+        int(r["shard"]): BloomFilter.from_bytes(bytes(r["bitmap"]))
+        for r in finished.collect()
+    }
     return ShardedBloom(n_shards=ns, shards=shards)
 
 
@@ -108,15 +125,28 @@ def build_sharded_cuckoo(
                 }
             )
 
+    def cf_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged: CuckooFilter | None = None
+        for raw in pdf["table"]:
+            cf = CuckooFilter.from_bytes(bytes(raw))
+            if merged is None:
+                merged = cf
+            else:
+                merged.merge(cf)
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "table": [merged.to_bytes()]}
+        )
+
     partial = seen.select(url_col).mapInPandas(fold, "shard int, table binary")
-    rows = partial.collect()
-    shards: dict[int, CuckooFilter] = {}
-    for r in rows:
-        cf = CuckooFilter.from_bytes(bytes(r["table"]))
-        if r["shard"] in shards:
-            shards[r["shard"]].merge(cf)
-        else:
-            shards[r["shard"]] = cf
+    # same shape as the bloom build: per-shard merge in Spark, driver
+    # collects n_shards finished tables only (see comment there)
+    finished = partial.groupBy("shard").applyInPandas(
+        cf_merge, "shard int, table binary"
+    )
+    shards = {
+        int(r["shard"]): CuckooFilter.from_bytes(bytes(r["table"]))
+        for r in finished.collect()
+    }
     return ShardedCuckoo(n_shards=ns, shards=shards)
 
 
