@@ -51,6 +51,54 @@ def _fp_hash(fp: int) -> int:
     )
 
 
+_FP_TAB: np.ndarray | None = None
+
+
+def _fp_table() -> np.ndarray:
+    """All 2^16 `_fp_hash` values as one uint64 array (lazy, ~512 KB,
+    built once per process in ~50 ms). Fingerprints are 16-bit, so the
+    alternate-bucket hash is a table lookup instead of a per-key
+    blake2b — byte-identical values (pinned by tests)."""
+    global _FP_TAB  # noqa: PLW0603
+    if _FP_TAB is None:
+        buf = bytearray(65536 * 8)
+        blake2b = hashlib.blake2b
+        for fp in range(65536):
+            buf[fp * 8 : fp * 8 + 8] = blake2b(
+                fp.to_bytes(2, "big"), digest_size=8
+            ).digest()
+        _FP_TAB = np.frombuffer(bytes(buf), dtype=">u8").astype(np.uint64)
+    return _FP_TAB
+
+
+def hash_batch(keys) -> tuple[np.ndarray, np.ndarray]:
+    """(h64, fingerprint) arrays for a whole batch — byte-identical to
+    per-key `_h64(key)` / `_fingerprint(key)`, but the digests land in
+    two buffers decoded with single big-endian `np.frombuffer` calls
+    (the bloom `_h128_batch` pattern). The two C-speed blake2b calls
+    per key remain the floor."""
+    n = len(keys)
+    buf_h = bytearray(n * 8)
+    buf_f = bytearray(n * 8)
+    blake2b = hashlib.blake2b
+    salt0 = b"\0" * 16
+    salt_fp = b"fp".ljust(16, b"\0")
+    for i, key in enumerate(keys):
+        enc = key.encode("utf-8")
+        buf_h[i * 8 : i * 8 + 8] = blake2b(
+            enc, digest_size=8, salt=salt0
+        ).digest()
+        buf_f[i * 8 : i * 8 + 8] = blake2b(
+            enc, digest_size=8, salt=salt_fp
+        ).digest()
+    h = np.frombuffer(bytes(buf_h), dtype=">u8").astype(np.uint64)
+    fp = (
+        np.frombuffer(bytes(buf_f), dtype=">u8") & np.uint64(0xFFFF)
+    ).astype(np.uint16)
+    fp[fp == 0] = 1  # 0 means empty, exactly like _fingerprint
+    return h, fp
+
+
 @dataclass
 class CuckooFilter:
     n_buckets: int
@@ -83,6 +131,12 @@ class CuckooFilter:
         """False = table full (insert failed after MAX_KICKS); callers
         must grow/flush — never ignore."""
         fp, i1, i2 = self._buckets_for(key)
+        return self._add_hashed(fp, i1, i2)
+
+    def _add_hashed(self, fp: int, i1: int, i2: int) -> bool:
+        """`add` past the hashing: identical control flow, with the
+        eviction chain's alternate-bucket hash served by `_fp_table`
+        (same values as `_fp_hash`, no per-victim blake2b)."""
         if fp in self.table[i1] or fp in self.table[i2]:
             self.n_items += 1  # counting duplicates is fine for load
             return True
@@ -90,21 +144,53 @@ class CuckooFilter:
             self.n_items += 1
             return True
         # evict: bounded displacement chain, deterministic victim
+        tab = _fp_table()
         i = i2
         for kick in range(MAX_KICKS):
             slot = (fp + kick) % SLOTS
             victim = int(self.table[i][slot])
             self.table[i][slot] = fp
             fp = victim
-            i = (i ^ _fp_hash(fp)) & (self.n_buckets - 1)
+            i = (i ^ int(tab[fp])) & (self.n_buckets - 1)
             if self._try_put(i, fp):
                 self.n_items += 1
                 return True
         return False
 
+    def add_many(self, keys) -> bool:
+        """Bulk insert with batch hashing (the slot/eviction logic is
+        inherently sequential — the win is one buffer decode + the fp
+        table instead of ~4 blake2b per key). Table contents are
+        IDENTICAL to N `add` calls in the same order. False = some
+        insert failed (table full); callers must grow/flush."""
+        if len(keys) == 0:
+            return True
+        h, fps = hash_batch(keys)
+        mask = self.n_buckets - 1
+        i1s = (h & np.uint64(mask)).astype(np.int64)
+        i2s = ((i1s.astype(np.uint64) ^ _fp_table()[fps]) & np.uint64(mask)).astype(np.int64)
+        ok = True
+        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+            ok = self._add_hashed(fp, i1, i2) and ok
+        return ok
+
     def might_contain(self, key: str) -> bool:
         fp, i1, i2 = self._buckets_for(key)
         return bool(fp in self.table[i1] or fp in self.table[i2])
+
+    def might_contain_batch(self, h: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Batch membership for pre-hashed keys (bool array): both
+        candidate rows gathered per key, one vectorized compare — same
+        answers as `might_contain` (pinned by tests)."""
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        mask = np.uint64(self.n_buckets - 1)
+        i1 = (h & mask).astype(np.int64)
+        i2 = ((i1.astype(np.uint64) ^ _fp_table()[fps]) & mask).astype(np.int64)
+        want = fps.astype(np.uint16)[:, None]
+        return np.any(self.table[i1] == want, axis=1) | np.any(
+            self.table[i2] == want, axis=1
+        )
 
     def delete(self, key: str) -> bool:
         """Remove one copy of key's fingerprint; True if found."""
@@ -173,9 +259,29 @@ class ShardedCuckoo:
         return cf.might_contain(key) if cf is not None else False
 
     def might_contain_many(self, keys) -> np.ndarray:
-        return np.fromiter(
-            (self.might_contain(k) for k in keys), dtype=bool, count=len(keys)
-        )
+        """Batch membership, vectorized per shard — the cuckoo twin of
+        `ShardedBloom.might_contain_many`: one batch shard-assignment
+        pass, one batch hash pass, then each PRESENT shard answers its
+        group with one gathered-row compare. No dense per-shard stack;
+        per-shard geometry stays free to differ; absent shards answer
+        False, exactly like `might_contain`."""
+        from .bloom import shard_of_many  # noqa: PLC0415
+
+        n = len(keys)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        if not isinstance(keys, list):
+            keys = list(keys)
+        sh = shard_of_many(keys, self.n_shards)
+        h, fps = hash_batch(keys)
+        out = np.zeros(n, dtype=bool)
+        for s in np.unique(sh):
+            cf = self.shards.get(int(s))
+            if cf is None:
+                continue
+            idx = np.nonzero(sh == s)[0]
+            out[idx] = cf.might_contain_batch(h[idx], fps[idx])
+        return out
 
     def delete(self, key: str) -> bool:
         from .bloom import shard_of  # noqa: PLC0415

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bloom import BloomFilter, ShardedBloom, shard_of, shard_of_many
+from .bloom import BloomFilter, ShardedBloom, shard_of_many
 from .cuckoo import CuckooFilter, ShardedCuckoo
 
 # per-python-worker deserialized-filter cache (see maybe_seen below)
@@ -110,12 +110,15 @@ def build_sharded_cuckoo(
     def fold(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local: dict[int, CuckooFilter] = {}
         for pdf in pdfs:
-            for key in pdf[url_col].astype(str):
-                s = shard_of(key, ns)
-                cf = local.get(s)
+            keys = pdf[url_col].astype(str).to_numpy(dtype=object)
+            if len(keys) == 0:
+                continue
+            sh = shard_of_many(keys, ns)
+            for s in np.unique(sh):
+                cf = local.get(int(s))
                 if cf is None:
-                    cf = local[s] = CuckooFilter.empty(exp)
-                if not cf.add(key):
+                    cf = local[int(s)] = CuckooFilter.empty(exp)
+                if not cf.add_many(keys[sh == s].tolist()):
                     raise OverflowError("cuckoo shard overflow; raise capacity")
         if local:
             yield pd.DataFrame(

@@ -57,6 +57,70 @@ class TestCuckooCore:
             assert cf.add(k)
         assert all(cf.might_contain(k) for k in keys)
 
+    def test_vectorized_paths_bit_identical(self):
+        """add_many / might_contain_many are vectorized (batch blake2b
+        decode + the 2^16 fp-hash table); they must be BIT-identical to
+        the per-key add / might_contain loops — including eviction
+        chains under high load, duplicate keys inside one batch, absent
+        shards (answer False), and shards with different geometry."""
+        import numpy as np
+
+        from edgar_crawler_spark.frontier.bloom import shard_of
+        from edgar_crawler_spark.frontier.cuckoo import (
+            _fingerprint,
+            _fp_hash,
+            _fp_table,
+            _h64,
+            hash_batch,
+        )
+
+        # the fp-hash table IS _fp_hash, for every 16-bit value class
+        tab = _fp_table()
+        for fp in (0, 1, 2, 7, 255, 256, 32767, 65535, 12345):
+            assert int(tab[fp]) == _fp_hash(fp)
+
+        # batch hashing == per-key hashing (incl. empty/unicode/long)
+        keys = [f"https://host{i % 7}.example/p/{i}" for i in range(3000)]
+        keys += ["", "é∆-unicode", "a" * 500, keys[0], keys[1]]  # dups too
+        h, fps = hash_batch(keys)
+        for i in (0, 1, 2999, 3000, 3001, 3002, 3003, 3004):
+            assert int(h[i]) == _h64(keys[i])
+            assert int(fps[i]) == _fingerprint(keys[i])
+
+        # bulk insert == sequential insert, same order, with evictions
+        # (~93% load) — table bytes identical
+        cf_loop = CuckooFilter.empty(3200)
+        cf_vec = CuckooFilter.empty(3200)
+        for k in keys:
+            assert cf_loop.add(k)
+        assert cf_vec.add_many(keys)
+        assert np.array_equal(cf_loop.table, cf_vec.table)
+        assert cf_loop.n_items == cf_vec.n_items
+
+        # sharded batch membership == per-key, absent shard answers False
+        shards: dict[int, CuckooFilter] = {}
+        for k in keys:
+            shards.setdefault(shard_of(k, 16), CuckooFilter.empty(600)).add(k)
+        del shards[sorted(shards)[3]]
+        sc = ShardedCuckoo(16, shards)
+        probe = keys + [f"unseen-{i}" for i in range(3000)]
+        assert sc.might_contain_many(probe).tolist() == [
+            sc.might_contain(k) for k in probe
+        ]
+        assert sc.might_contain_many([]).shape == (0,)
+
+        # heterogeneous shard geometry
+        het = ShardedCuckoo(
+            4, {0: CuckooFilter.empty(64), 1: CuckooFilter.empty(9999)}
+        )
+        het.shards[0].add("x")
+        het.shards[1].add("y")
+        pr = ["x", "y", "z", "w"]
+        assert het.might_contain_many(pr).tolist() == [
+            het.might_contain(k) for k in pr
+        ]
+        assert CuckooFilter.empty(64).add_many([])  # empty batch no-op
+
 
 class TestCuckooSpark:
     def test_distributed_build_and_filter(self, spark):
